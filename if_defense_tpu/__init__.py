@@ -1,0 +1,23 @@
+"""IF-Defense-TPU: a TPU-native JAX framework for 3D adversarial point-cloud
+attack, defense, and implicit-function based restoration.
+
+Re-designed from scratch for TPU (JAX / XLA / Pallas / pjit) with the same
+capabilities as the PyTorch/CUDA reference `Wuziyi616/IF-Defense`
+(arXiv:2010.05272). All compute paths are pure jitted functions over
+fixed-shape `[B, N, 3]` arrays; multi-device scaling goes through
+`jax.sharding.Mesh` + batch-axis sharding instead of NCCL DDP.
+
+Subpackages
+-----------
+- ``ops``       point-cloud kernel library (pairwise dist, kNN, FPS,
+                ball query, Chamfer/Hausdorff, scatter, plane sampling)
+- ``data``      npz schema + ModelNet40 dataset pipelines
+- ``models``    victim classifiers (PointNet, PointNet++, DGCNN, PointConv)
+- ``implicit``  Occupancy Networks (ONet) + Convolutional ONet
+- ``defense``   SRS / SOR / DUP-Net / IF-Defense restoration drivers
+- ``attack``    CW (Perturb/Add/Cluster/Object/kNN), FGM family, Drop
+- ``parallel``  device-mesh / sharding helpers
+- ``utils``     checkpointing, metrics, config, rng
+"""
+
+__version__ = "0.1.0"

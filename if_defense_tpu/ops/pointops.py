@@ -1,0 +1,175 @@
+"""Core point-cloud ops: pairwise distance, gather, kNN, FPS, ball query.
+
+Semantics match the reference point-op idioms that are re-implemented 4x in
+the PyTorch codebase (see `baselines/model/pointnet2.py:9-98`,
+`baselines/model/pointconv.py:104-116`, `baselines/defense/DUP_Net/pu_utils.py`)
+but are written TPU-first: distances as MXU matmuls, FPS as a fori_loop with
+on-chip state, everything batched and fixed-shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Squared L2 distance between every pair of points.
+
+    Matmul expansion ``|s|^2 + |d|^2 - 2 s.d`` (maps onto the MXU).
+
+    Args:
+        src: [B, N, C]
+        dst: [B, M, C]
+    Returns:
+        [B, N, M] squared distances.
+    """
+    s2 = jnp.sum(src * src, axis=-1, keepdims=True)        # [B, N, 1]
+    d2 = jnp.sum(dst * dst, axis=-1, keepdims=True)        # [B, M, 1]
+    # full-f32 matmul: distances feed top-k/threshold logic, bf16 passes
+    # (the TPU default) lose too much precision there
+    cross = jnp.einsum(
+        "bnc,bmc->bnm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return s2 - 2.0 * cross + jnp.swapaxes(d2, -1, -2)
+
+
+def pairwise_self_distance(xyz: jax.Array) -> jax.Array:
+    """Squared L2 self-distance matrix, [B, N, 3] -> [B, N, N]."""
+    return square_distance(xyz, xyz)
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: out[b, ..., c] = points[b, idx[b, ...], c].
+
+    Args:
+        points: [B, N, C]
+        idx: [B, ...] integer indices into the N axis.
+    Returns:
+        [B, ..., C]
+    """
+    return jax.vmap(lambda p, i: p[i])(points, idx)
+
+
+def knn_points(
+    k: int,
+    xyz: jax.Array,
+    query: jax.Array | None = None,
+    exclude_self: bool = False,
+    return_dist: bool = False,
+):
+    """k-nearest-neighbour indices of `query` points within `xyz`.
+
+    Distance matrix is one batched matmul; selection is `lax.top_k` over the
+    negated distances (ties broken by lower index, matching torch.topk).
+
+    Args:
+        k: neighbours per query point.
+        xyz: [B, N, 3] reference points.
+        query: [B, Q, 3]; defaults to `xyz` itself.
+        exclude_self: drop the closest neighbour (self-match) — used when
+            query is xyz, mirrors `ONet/defense/pn_utils.py:64-80`.
+        return_dist: also return the squared distances to the neighbours.
+    Returns:
+        idx [B, Q, k] (int32), optionally (idx, sqdist [B, Q, k]).
+    """
+    if query is None:
+        query = xyz
+    d = square_distance(query, xyz)                          # [B, Q, N]
+    kk = k + 1 if exclude_self else k
+    neg_top, idx = jax.lax.top_k(-d, kk)                     # [B, Q, kk]
+    if exclude_self:
+        idx = idx[..., 1:]
+        neg_top = neg_top[..., 1:]
+    if return_dist:
+        return idx.astype(jnp.int32), -neg_top
+    return idx.astype(jnp.int32)
+
+
+def knn_self(k: int, xyz: jax.Array, return_dist: bool = False):
+    """kNN within a cloud excluding self (reference `pn_utils.knn_point`)."""
+    return knn_points(k, xyz, exclude_self=True, return_dist=return_dist)
+
+
+def _fps_body(xyz, i, state):
+    dist, farthest, out_idx = state
+    out_idx = out_idx.at[i].set(farthest)
+    centroid = xyz[farthest]                                 # [3]
+    d = jnp.sum((xyz - centroid) ** 2, axis=-1)              # [N]
+    dist = jnp.minimum(dist, d)
+    farthest = jnp.argmax(dist).astype(jnp.int32)
+    return dist, farthest, out_idx
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def farthest_point_sample(
+    xyz: jax.Array, npoint: int, start_idx: jax.Array | None = None
+) -> jax.Array:
+    """Iterative farthest point sampling.
+
+    Same algorithm as `baselines/model/pointnet2.py:53-74`: keep a running
+    min-distance-to-selected-set per point, greedily pick the argmax. The N
+    sequential steps run as a `lax.fori_loop` with all state on device.
+
+    Args:
+        xyz: [B, N, 3]
+        npoint: number of points to select (static).
+        start_idx: [B] int32 initial point per cloud; defaults to 0
+            (the reference uses a random start; pass one for parity).
+    Returns:
+        [B, npoint] int32 indices.
+    """
+    B, N, _ = xyz.shape
+    if start_idx is None:
+        start_idx = jnp.zeros((B,), jnp.int32)
+
+    def single(xyz_b, start_b):
+        dist0 = jnp.full((N,), jnp.inf, xyz_b.dtype)
+        out0 = jnp.zeros((npoint,), jnp.int32)
+
+        def body(i, state):
+            return _fps_body(xyz_b, i, state)
+
+        _, _, out_idx = jax.lax.fori_loop(
+            0, npoint, body, (dist0, start_b.astype(jnp.int32), out0)
+        )
+        return out_idx
+
+    return jax.vmap(single)(xyz, start_idx)
+
+
+def query_ball_point(
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> jax.Array:
+    """Radius neighbourhood grouping with fixed group size.
+
+    Mirrors `baselines/model/pointnet2.py:77-98`: take the first `nsample`
+    in-radius points (by index order); slots past the in-radius count are
+    filled with the group's first in-radius point.
+
+    Args:
+        radius: ball radius.
+        nsample: points per group (static).
+        xyz: [B, N, 3] all points.
+        new_xyz: [B, S, 3] group centres.
+    Returns:
+        [B, S, nsample] int32 indices into N.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    sqrdists = square_distance(new_xyz, xyz)                 # [B, S, N]
+    arange = jnp.arange(N, dtype=jnp.int32)
+    # out-of-radius -> sentinel N so that sorting pushes them last
+    idx = jnp.where(sqrdists > radius**2, N, arange[None, None, :])
+    idx = jnp.sort(idx, axis=-1)[..., :nsample]              # [B, S, nsample]
+    first = idx[..., :1]                                     # first (closest-index) hit
+    idx = jnp.where(idx == N, first, idx)
+    # degenerate case: no point in radius at all -> fall back to index 0
+    idx = jnp.where(idx == N, 0, idx)
+    return idx.astype(jnp.int32)
