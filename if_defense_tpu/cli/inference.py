@@ -1,0 +1,114 @@
+"""Evaluation CLI: accuracy / targeted-attack success of an npz vs a victim.
+
+Mirrors `baselines/inference.py`: normal mode reports accuracy; target mode
+also reports targeted success (pred == target). Point-count auto-adjustment
+for Add-family attack outputs (+512 Add, +3*32 Cluster, +3*64 Object —
+`baselines/inference.py:127-149`) is applied from the filename, like the
+reference.
+
+Usage:
+    python -m if_defense_tpu.cli.inference --data adv.npz \
+        --checkpoint runs/pointnet/best [--mode target]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from if_defense_tpu.data import ModelNet40, ModelNet40Attack, batch_iterator
+from if_defense_tpu.models import build_model
+from if_defense_tpu.parallel import best_data_mesh, shard_batch
+from if_defense_tpu.training import make_eval_step
+from if_defense_tpu.utils import MetricsWriter
+from if_defense_tpu.utils.checkpoint import restore_checkpoint_raw
+
+
+def adjust_num_points(num_points: int, data_path: str) -> int:
+    """Add-family attacks append points; grow the eval cloud accordingly."""
+    name = os.path.basename(data_path).lower()
+    if "add" in name:
+        if "cluster" in name:
+            return num_points + 3 * 32
+        if "object" in name:
+            return num_points + 3 * 64
+        return num_points + 512
+    return num_points
+
+
+def load_eval_model(checkpoint: str, model_name: str | None = None):
+    """Restore a checkpoint into eval variables; returns (model, vars, meta)."""
+    raw = restore_checkpoint_raw(checkpoint)
+    meta = raw.get("metadata", {})
+    name = model_name or meta.get("model")
+    if name is None:
+        raise ValueError(
+            "checkpoint has no model metadata; pass --model explicitly"
+        )
+    model = build_model(str(name))
+    variables = {"params": raw["params"]}
+    if raw.get("batch_stats") is not None:
+        variables["batch_stats"] = raw["batch_stats"]
+    return model, variables, meta
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate accuracy / attack success")
+    p.add_argument("--data", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--model", default=None,
+                   help="override model name from checkpoint metadata")
+    p.add_argument("--mode", default="normal", choices=["normal", "target"])
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--no_adjust_points", action="store_true")
+    p.add_argument("--normalize", action="store_true",
+                   help="re-normalize clouds (reference default is off "
+                        "for defended data)")
+    p.add_argument("--metrics_out", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model, variables, meta = load_eval_model(args.checkpoint, args.model)
+    eval_step = make_eval_step(model)
+    mesh = best_data_mesh(args.batch_size)
+
+    num_points = args.num_points
+    if not args.no_adjust_points:
+        num_points = adjust_num_points(num_points, args.data)
+
+    if args.mode == "target":
+        ds = ModelNet40Attack(args.data, num_points, normalize=args.normalize)
+    else:
+        ds = ModelNet40(
+            args.data, num_points, normalize=args.normalize,
+            partition="test", augmentation=False,
+        )
+
+    correct, success, total = 0, 0, 0
+    for batch, valid in batch_iterator(ds, args.batch_size, pad_last=True):
+        pc = shard_batch(batch[0].astype(np.float32), mesh)
+        logits = np.asarray(eval_step(variables, pc))
+        pred = logits.argmax(-1)[:valid]
+        label = batch[1][:valid]
+        correct += int((pred == label).sum())
+        total += valid
+        if args.mode == "target":
+            target = batch[2][:valid]
+            success += int((pred == target).sum())
+
+    acc = correct / max(total, 1)
+    out = {"data": args.data, "model": meta.get("model", args.model),
+           "num_points": num_points, "accuracy": acc, "n": total}
+    if args.mode == "target":
+        out["target_success"] = success / max(total, 1)
+    MetricsWriter(args.metrics_out).write(**out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
