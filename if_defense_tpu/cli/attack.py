@@ -1,0 +1,230 @@
+"""Attack CLI: run any of the 7 attacks over an npz dataset.
+
+Replaces the reference's per-attack DDP scripts
+(`baselines/attack_scripts/*.py`) and the offline shard merger
+(`baselines/util/merge_attack_results.py`): data parallelism is batch-axis
+sharding over the device mesh, results come back as one global array, and
+a single npz + metrics JSONL are written (no rank shards, no
+success-rate-in-filename encoding).
+
+Usage:
+    python -m if_defense_tpu.cli.attack --attack perturb \
+        --data mn40_attack.npz --checkpoint runs/pointnet/best
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from if_defense_tpu.attack import (
+    chamfer_dist,
+    chamfer_knn_dist,
+    cw_add,
+    cw_add_cluster,
+    cw_add_object,
+    cw_knn,
+    cw_perturb,
+    fgm,
+    hausdorff_dist,
+    ifgm,
+    mifgm,
+    pgd,
+    saliency_drop,
+)
+from if_defense_tpu.cli.inference import load_eval_model
+from if_defense_tpu.data import (
+    ModelNet40Attack,
+    ModelNet40NormalAttack,
+    batch_iterator,
+)
+from if_defense_tpu.utils import MetricsWriter
+from if_defense_tpu.data.npz import save_npz
+
+ATTACKS = ["perturb", "add", "add_cluster", "add_object", "knn",
+           "fgm", "ifgm", "mifgm", "pgd", "drop"]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Run a point-cloud attack")
+    p.add_argument("--attack", required=True, choices=ATTACKS)
+    p.add_argument("--data", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--model", default=None)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--output", default=None,
+                   help="output npz (default <attack>-<model>-<file>.npz)")
+    # CW params
+    p.add_argument("--attack_lr", type=float, default=1e-2)
+    p.add_argument("--binary_step", type=int, default=None)
+    p.add_argument("--num_iter", type=int, default=None)
+    p.add_argument("--adv_dist", default="chamfer",
+                   choices=["chamfer", "hausdorff"],
+                   help="distance for the Add attack")
+    p.add_argument("--num_add", type=int, default=None)
+    # FGM params
+    p.add_argument("--budget", type=float, default=0.08)
+    # kNN params
+    p.add_argument("--knn_budget", type=float, default=0.1)
+    # Drop params
+    p.add_argument("--num_drop", type=int, default=200)
+    p.add_argument("--seed", type=int, default=1)
+    return p.parse_args(argv)
+
+
+def build_attack(args, logits_fn):
+    """Return fn(batch) -> (adv_pc np, success np) for the chosen attack."""
+    name = args.attack
+
+    if name == "perturb":
+        iters = args.num_iter or 500
+        bsteps = args.binary_step or 10
+
+        def run(pc, label, target, normal, key):
+            _, adv, succ = cw_perturb(
+                logits_fn, pc, target, key, attack_lr=args.attack_lr,
+                binary_step=bsteps, num_iter=iters)
+            return adv, succ
+        return run, "target"
+
+    if name == "add":
+        iters = args.num_iter or 500
+        bsteps = args.binary_step or 10
+        num_add = args.num_add or 512
+        dist = (functools.partial(chamfer_dist, method="adv2ori")
+                if args.adv_dist == "chamfer"
+                else functools.partial(hausdorff_dist, method="adv2ori"))
+
+        def run(pc, label, target, normal, key):
+            _, adv, succ = cw_add(
+                logits_fn, pc, target, key, dist, num_add=num_add,
+                attack_lr=args.attack_lr, binary_step=bsteps, num_iter=iters)
+            return adv, succ
+        return run, "target"
+
+    if name == "add_cluster":
+        iters = args.num_iter or 500
+        bsteps = args.binary_step or 5
+
+        def run(pc, label, target, normal, key):
+            _, adv, succ = cw_add_cluster(
+                logits_fn, pc, target, key, num_add=args.num_add or 3,
+                attack_lr=args.attack_lr, binary_step=bsteps,
+                num_iter=iters, seed=args.seed)
+            return adv, succ
+        return run, "target"
+
+    if name == "add_object":
+        iters = args.num_iter or 500
+        bsteps = args.binary_step or 5
+
+        def run(pc, label, target, normal, key):
+            _, adv, succ = cw_add_object(
+                logits_fn, pc, target, key, num_add=args.num_add or 3,
+                attack_lr=args.attack_lr, binary_step=bsteps,
+                num_iter=iters, seed=args.seed)
+            return adv, succ
+        return run, "target"
+
+    if name == "knn":
+        iters = args.num_iter or 2500
+
+        def run(pc, label, target, normal, key):
+            adv, succ = cw_knn(
+                logits_fn, pc, target, key, chamfer_knn_dist,
+                normal=normal, attack_lr=1e-3, num_iter=iters,
+                budget=args.knn_budget)
+            return adv, succ
+        return run, "target_normal"
+
+    if name in ("fgm", "ifgm", "mifgm", "pgd"):
+        iters = args.num_iter or 50
+        # global-L2 budget scaled by sqrt(K * 3) like the driver
+        # (targeted_fgm_attack.py:136-140)
+        budget = args.budget * np.sqrt(args.num_points * 3)
+        step_size = budget / iters
+
+        def run(pc, label, target, normal, key):
+            if name == "fgm":
+                return fgm(logits_fn, pc, target, budget)
+            if name == "ifgm":
+                return ifgm(logits_fn, pc, target, key, budget,
+                            step_size, iters)
+            if name == "mifgm":
+                return mifgm(logits_fn, pc, target, key, budget,
+                             step_size, iters)
+            return pgd(logits_fn, pc, target, key, budget, step_size, iters)
+        return run, "target"
+
+    if name == "drop":
+        def run(pc, label, target, normal, key):
+            adv, still_correct = saliency_drop(
+                logits_fn, pc, label, args.num_drop)
+            return adv, ~still_correct
+        return run, "untarget"
+
+    raise ValueError(name)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model, variables, meta = load_eval_model(args.checkpoint, args.model)
+
+    def logits_fn(pc):
+        logits, _ = model.apply(variables, pc, train=False)
+        return logits
+
+    run, mode = build_attack(args, logits_fn)
+
+    if mode == "target_normal":
+        ds = ModelNet40NormalAttack(args.data, args.num_points)
+    else:
+        ds = ModelNet40Attack(args.data, args.num_points)
+
+    key = jax.random.key(args.seed)
+    all_adv, all_label, all_target = [], [], []
+    success = 0
+    total = 0
+    for batch, valid in batch_iterator(ds, args.batch_size, pad_last=True):
+        pc = jnp.asarray(batch[0], jnp.float32)
+        normal = None
+        if pc.shape[-1] > 3:
+            normal = pc[..., 3:6]
+            pc = pc[..., :3]
+        label = jnp.asarray(batch[1])
+        target = jnp.asarray(batch[2]) if len(batch) > 2 else label
+        key, sub = jax.random.split(key)
+        adv, succ = run(pc, label, target, normal, sub)
+        adv, succ = np.asarray(adv), np.asarray(succ)
+        all_adv.append(adv[:valid])
+        all_label.append(np.asarray(batch[1][:valid]))
+        all_target.append(np.asarray(batch[2][:valid] if len(batch) > 2
+                                     else batch[1][:valid]))
+        success += int(succ[:valid].sum())
+        total += valid
+
+    adv_pc = np.concatenate(all_adv, 0)
+    model_name = meta.get("model", args.model or "model")
+    out = args.output or "{}-{}-{}".format(
+        args.attack, model_name, os.path.basename(args.data))
+    save_npz(out, {
+        "test_pc": adv_pc,
+        "test_label": np.concatenate(all_label, 0),
+        "target_label": np.concatenate(all_target, 0),
+    })
+    rate = success / max(total, 1)
+    MetricsWriter(out + ".metrics.jsonl").write(
+        attack=args.attack, model=model_name, data=args.data,
+        success_rate=rate, n=total, output=out)
+    print(f"attack success rate {rate:.4f}; adversarial npz saved to {out}")
+    return out, rate
+
+
+if __name__ == "__main__":
+    main()
