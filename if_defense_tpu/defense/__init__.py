@@ -9,8 +9,16 @@ from if_defense_tpu.defense.sor import sor_defense, sor_defense_fixed
 from if_defense_tpu.defense.dupnet import DUPNet, process_data_fixed
 from if_defense_tpu.defense.punet import PUNet
 from if_defense_tpu.defense.repulsion import repulsion_loss
+from if_defense_tpu.defense.ifdefense import (
+    make_opt_defense,
+    convonet_opt_defense,
+    onet_opt_defense,
+)
 
 __all__ = [
+    "make_opt_defense",
+    "convonet_opt_defense",
+    "onet_opt_defense",
     "srs_defense",
     "sor_defense",
     "sor_defense_fixed",

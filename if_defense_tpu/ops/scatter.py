@@ -33,11 +33,13 @@ def scatter_mean_2d(feat: jax.Array, index: jax.Array, num_cells: int) -> jax.Ar
 def scatter_max_2d(feat: jax.Array, index: jax.Array, num_cells: int) -> jax.Array:
     """Per-batch max-scatter of point features into grid cells.
 
-    Empty cells are zero (matches torch_scatter.scatter_max's zero-init
-    `out` buffer in the reference usage where features are post-ReLU).
+    torch_scatter 2.x semantics: the max over the scattered features only
+    (it can be negative); cells no point maps to are zero.
     """
 
     def one(f, i):
-        return jnp.zeros((num_cells, f.shape[-1]), f.dtype).at[i].max(f)
+        neg_inf = jnp.full((num_cells, f.shape[-1]), -jnp.inf, f.dtype)
+        out = neg_inf.at[i].max(f)
+        return jnp.where(jnp.isinf(out), 0.0, out)
 
     return jax.vmap(one)(feat, index)

@@ -115,7 +115,7 @@ def test_scatter_mean_max(rng):
                     got_mean[b, c], feat[b][m].mean(0), atol=1e-5
                 )
                 np.testing.assert_allclose(
-                    got_max[b, c], np.maximum(feat[b][m].max(0), 0.0), atol=1e-5
+                    got_max[b, c], feat[b][m].max(0), atol=1e-5
                 )
             else:
                 np.testing.assert_allclose(got_mean[b, c], 0.0)
