@@ -1,0 +1,93 @@
+"""Headline benchmark: ConvONet-Opt restoration throughput (clouds/sec).
+
+The north-star workload (BASELINE.json): restore 1024-point clouds with the
+ConvONet-Opt IF-Defense — SOR, unit-cube preprocessing, one encoder pass,
+then 201 Adam iterations of (decoder forward+backward + kNN repulsion) —
+at reference hyperparameters (batch 192, lr 1e-3, rep_weight 500,
+threshold 0.2; `ConvONet/opt_defense.py:39-56`).
+
+Throughput counts the full defense (SOR + encode + optimise + renormalise)
+per cloud. Weights are random-init (throughput is weight-independent).
+
+Baseline anchor: the reference PyTorch pipeline on a V100 is estimated at
+~24 clouds/s: ~4 TFLOP per 192-cloud batch (201 iters x [decoder fwd+bwd
+~18 GFLOP + kNN 1.3 GFLOP]) at the ~5-10%% FLOP efficiency its many small
+unfused kernels reach, plus per-iteration Python/launch overhead — ~8 s
+per batch. vs_baseline = measured / 24.0. The BASELINE.md target of a
+>=20x per-cloud speedup therefore corresponds to vs_baseline >= 20.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+REFERENCE_CLOUDS_PER_SEC = 24.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny CPU-friendly shapes (compile check)")
+    parser.add_argument("--batch_size", type=int, default=192)
+    parser.add_argument("--num_batches", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.smoke:
+        # the axon sitecustomize pre-pins the TPU platform; --smoke must
+        # run on host CPU
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from if_defense_tpu.defense import convonet_opt_defense
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+
+    if args.smoke:
+        B, K, iters, inp, samp = 4, 256, 5, 64, 128
+    else:
+        B, K, iters, inp, samp = args.batch_size, 1024, 200, 600, 1024
+
+    model = ConvOccupancyNetwork()
+    rng = np.random.default_rng(0)
+    init_pc = jnp.asarray(
+        rng.uniform(-0.45, 0.45, (2, inp, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), init_pc, init_pc)
+
+    defend = convonet_opt_defense(
+        model, variables,
+        iterations=iters, input_npoint=inp, sample_npoint=samp,
+    )
+
+    pc = jnp.asarray(rng.normal(size=(B, K, 3)) * 0.3, jnp.float32)
+    key = jax.random.key(1)
+
+    # compile + warmup; sync via a scalar host fetch — on the axon tunnel
+    # block_until_ready() returns before remote execution finishes
+    out = defend(pc, key)
+    float(out[0, 0, 0])
+
+    t0 = time.time()
+    for i in range(args.num_batches):
+        out = defend(pc, jax.random.fold_in(key, i))
+    float(out[0, 0, 0])
+    dt = time.time() - t0
+
+    clouds_per_sec = args.num_batches * B / dt
+    print(json.dumps({
+        "metric": "convonet_opt_clouds_per_sec",
+        "value": round(clouds_per_sec, 2),
+        "unit": "clouds/s",
+        "vs_baseline": round(clouds_per_sec / REFERENCE_CLOUDS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,16 +77,21 @@ def make_opt_defense(
     sor: bool = True,
     sor_k: int = 2,
     sor_alpha: float = 1.1,
+    exact_knn: bool = False,
 ):
-    """Build the jitted defense: (pc [B, K, 3], key) -> [B, sample_npoint, 3].
+    """Build the jitted defense: (variables, pc [B, K, 3], key) ->
+    [B, sample_npoint, 3].
 
-    `encode_fn` / `decode_fn` close over the frozen implicit-model params
-    (ONet: c is a [B, 512] code; ConvONet: c is a dict of feature planes).
+    `encode_fn(variables, pc)` / `decode_fn(variables, p, c)` apply the
+    frozen implicit model (ONet: c is a [B, 512] code; ConvONet: a dict of
+    feature planes). The params travel as jit ARGUMENTS — closing over them
+    would bake every weight into the lowered module as an MLIR constant
+    (slow host fetches at trace time, bloated HLO).
     """
     opt = optax.adam(lr)
 
     @jax.jit
-    def defend(pc: jax.Array, key: jax.Array) -> jax.Array:
+    def defend(variables, pc: jax.Array, key: jax.Array) -> jax.Array:
         B, K, _ = pc.shape
         if sor:
             pc, mask = sor_defense(pc, sor_k, sor_alpha)
@@ -97,7 +102,7 @@ def make_opt_defense(
         k_enc, k_init, k_noise = jax.random.split(key, 3)
 
         sel = sample_valid(proc, mask, input_npoint, k_enc)
-        c = encode_fn(sel)
+        c = encode_fn(variables, sel)
 
         pts = sample_valid(proc, mask, sample_npoint, k_init)
         noise = jax.random.normal(k_noise, pts.shape) * init_sigma
@@ -106,9 +111,9 @@ def make_opt_defense(
         )
 
         def loss_fn(p):
-            occ = decode_fn(p, c)                     # [B, sample_npoint]
+            occ = decode_fn(variables, p, c)          # [B, sample_npoint]
             occ_loss = occupancy_bce(occ, threshold) * sample_npoint
-            rep = jnp.mean(repulsion_loss(p)) * rep_weight
+            rep = jnp.mean(repulsion_loss(p, exact=exact_knn)) * rep_weight
             return occ_loss + rep
 
         grad_fn = jax.grad(loss_fn)
@@ -129,27 +134,24 @@ def make_opt_defense(
     return defend
 
 
+def _model_opt_defense(model, variables, default_input_npoint, **kwargs):
+    kwargs.setdefault("input_npoint", default_input_npoint)
+
+    def encode(v, pc):
+        return model.apply(v, pc, method="encode_inputs")
+
+    def decode(v, p, c):
+        return model.apply(v, p, c, method="decode")
+
+    defend = make_opt_defense(decode, encode, **kwargs)
+    return functools.partial(defend, variables)
+
+
 def convonet_opt_defense(model, variables, **kwargs):
     """ConvONet-Opt: the strongest IF-Defense variant."""
-    kwargs.setdefault("input_npoint", 600)
-
-    def encode(pc):
-        return model.apply(variables, pc, method="encode_inputs")
-
-    def decode(p, c):
-        return model.apply(variables, p, c, method="decode")
-
-    return make_opt_defense(decode, encode, **kwargs)
+    return _model_opt_defense(model, variables, 600, **kwargs)
 
 
 def onet_opt_defense(model, variables, **kwargs):
     """ONet-Opt (z_dim 0: the vestigial VAE latent is dropped)."""
-    kwargs.setdefault("input_npoint", 300)
-
-    def encode(pc):
-        return model.apply(variables, pc, method="encode_inputs")
-
-    def decode(p, c):
-        return model.apply(variables, p, c, method="decode")
-
-    return make_opt_defense(decode, encode, **kwargs)
+    return _model_opt_defense(model, variables, 300, **kwargs)

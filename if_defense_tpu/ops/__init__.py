@@ -9,6 +9,7 @@ Pallas fast path.
 from if_defense_tpu.ops.pointops import (
     square_distance,
     index_points,
+    gather_neighbors,
     knn_points,
     knn_self,
     farthest_point_sample,
@@ -34,6 +35,7 @@ from if_defense_tpu.ops.normalize import (
 __all__ = [
     "square_distance",
     "index_points",
+    "gather_neighbors",
     "knn_points",
     "knn_self",
     "farthest_point_sample",
