@@ -1,0 +1,183 @@
+"""ONet-Mesh defense CLI: reconstruct a mesh per cloud and resample it.
+
+Mirrors `ONet/remesh_defense.py`: optional SOR -> unit-cube preprocessing ->
+encode -> mesh extraction -> 1024-point surface resampling -> unit-sphere
+normalisation -> npz. Unlike the reference's sequential per-cloud loop
+(:251-254) with host<->device MISE ping-pong, encoding and occupancy
+evaluation run batched over whole cloud batches; only the final
+isosurface + sampling run per cloud on the host.
+
+Failed reconstructions fall back to a random resample (or zero padding) of
+the input cloud, like :159-170.
+
+Usage:
+    python -m if_defense_tpu.cli.remesh_defense --data_root adv.npz \
+        --weights weights/onet_mn40.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from if_defense_tpu.data import load_npz, save_npz
+from if_defense_tpu.defense.ifdefense import sample_valid
+from if_defense_tpu.defense.sor import sor_defense
+from if_defense_tpu.implicit import ConvOccupancyNetwork, OccupancyNetwork
+from if_defense_tpu.implicit.generation import generate_meshes, sample_surface
+from if_defense_tpu.ops import normalize_unit_cube
+from if_defense_tpu.utils import MetricsWriter
+from if_defense_tpu.utils.params_io import load_params_npz
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="IF-Defense mesh restoration")
+    p.add_argument("--variant", default="onet", choices=["onet", "convonet"])
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--sample_npoint", type=int, default=1024)
+    p.add_argument("--input_npoint", type=int, default=None,
+                   help="encoder input points (default 300 onet/600 convonet)")
+    p.add_argument("--padding_scale", type=float, default=0.9)
+    p.add_argument("--threshold", type=float, default=0.2)
+    p.add_argument("--resolution0", type=int, default=32)
+    p.add_argument("--upsample", type=int, default=4,
+                   help="fine cells per coarse voxel (MISE: 2 steps of x2)")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--no_sor", action="store_true")
+    p.add_argument("--sor_k", type=int, default=2)
+    p.add_argument("--sor_alpha", type=float, default=1.1)
+    p.add_argument("--seed", type=int, default=1)
+    return p.parse_args(argv)
+
+
+def build_model(args):
+    variables = load_params_npz(args.weights)
+    if args.variant == "onet":
+        model = OccupancyNetwork()
+        input_n = args.input_npoint or 300
+    else:
+        model = ConvOccupancyNetwork()
+        input_n = args.input_npoint or 600
+    return model, variables, input_n
+
+
+def remesh_batch(model, variables, input_n, batch_pc, args, rng, key):
+    """Defend one [B, K, 3] batch; returns [B, sample_npoint, 3]."""
+    B = batch_pc.shape[0]
+    pc = jnp.asarray(batch_pc, jnp.float32)
+    if not args.no_sor:
+        pc, mask = sor_defense(pc, args.sor_k, args.sor_alpha)
+    else:
+        mask = jnp.ones(pc.shape[:2], pc.dtype)
+    proc = normalize_unit_cube(pc, args.padding_scale, mask)
+    k_enc, key = jax.random.split(key)
+    sel = sample_valid(proc, mask, input_n, k_enc)
+
+    encode = jax.jit(
+        lambda v, p: model.apply(v, p, method="encode_inputs"))
+    c = encode(variables, sel)
+
+    def decode_fn(v, p, cc):
+        return model.apply(v, p, cc, method="decode")
+
+    meshes = generate_meshes(
+        decode_fn, variables, c,
+        threshold=args.threshold, resolution0=args.resolution0,
+        upsample=args.upsample,
+    )
+
+    proc_np = np.asarray(proc)
+    mask_np = np.asarray(mask) > 0.5
+    out = np.zeros((B, args.sample_npoint, 3), np.float32)
+    failures = 0
+    for b, (verts, tris) in enumerate(meshes):
+        try:
+            pts = sample_surface(verts, tris, args.sample_npoint, rng)
+        except ValueError:
+            # reconstruction failed: fall back to resampling the input
+            # (remesh_defense.py:159-170)
+            failures += 1
+            valid = proc_np[b][mask_np[b]]
+            if len(valid):
+                idx = rng.integers(0, len(valid), args.sample_npoint)
+                pts = valid[idx]
+            else:
+                pts = np.zeros((args.sample_npoint, 3), np.float32)
+        # unit-sphere normalise
+        pts = pts - pts.mean(0, keepdims=True)
+        r = np.sqrt((pts**2).sum(-1)).max()
+        out[b] = pts / max(r, 1e-12)
+    return out, failures
+
+
+def defend_clouds(model, variables, input_n, pc, args):
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.key(args.seed)
+    outs, failures = [], 0
+    B = args.batch_size
+    for i in range(0, len(pc), B):
+        batch = pc[i : i + B].astype(np.float32)
+        key, sub = jax.random.split(key)
+        out, f = remesh_batch(
+            model, variables, input_n, batch, args, rng, sub)
+        outs.append(out)
+        failures += f
+    return np.concatenate(outs, 0), failures
+
+
+def get_save_name(path: str, variant: str) -> str:
+    folder = os.path.join(
+        os.path.dirname(os.path.abspath(path)),
+        "ONet-Mesh" if variant == "onet" else "ConvONet-Mesh",
+    )
+    return os.path.join(folder, f"{variant}_remesh-{os.path.basename(path)}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model, variables, input_n = build_model(args)
+
+    files = (
+        [os.path.join(args.data_root, f)
+         for f in sorted(os.listdir(args.data_root))
+         if os.path.isfile(os.path.join(args.data_root, f))]
+        if os.path.isdir(args.data_root) else [args.data_root]
+    )
+    saved = []
+    for path in files:
+        d = load_npz(path)
+        t0 = time.time()
+        out = {"test_label": d.test_label}
+        if d.target_label is not None:
+            out["target_label"] = d.target_label
+        out["test_pc"], fails = defend_clouds(
+            model, variables, input_n, d.test_pc[..., :3], args)
+        n = len(out["test_pc"])
+        if args.train:
+            out["train_pc"], f2 = defend_clouds(
+                model, variables, input_n, d.train_pc[..., :3], args)
+            out["train_label"] = d.train_label
+            n += len(out["train_pc"])
+            fails += f2
+        dt = time.time() - t0
+        save_path = get_save_name(path, args.variant)
+        save_npz(save_path, out)
+        MetricsWriter(save_path + ".metrics.jsonl").write(
+            variant=f"{args.variant}-mesh", data=path, clouds=n,
+            seconds=dt, clouds_per_sec=n / max(dt, 1e-9),
+            reconstruction_failures=fails, output=save_path)
+        print(f"remesh defense saved to {save_path} "
+              f"({n} clouds, {fails} fallbacks, {dt:.1f}s)")
+        saved.append(save_path)
+    return saved
+
+
+if __name__ == "__main__":
+    main()
