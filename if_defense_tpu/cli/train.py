@@ -37,7 +37,7 @@ def parse_args(argv=None):
     p.add_argument("--def_data", default=None,
                    help="defended npz for hybrid training")
     p.add_argument("--model", default="pointnet",
-                   choices=["pointnet", "pointnet2", "dgcnn", "pointconv"])
+                   choices=["pointnet", "pointnet2", "dgcnn", "pointconv", "rscnn"])
     p.add_argument("--num_points", type=int, default=1024)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--epochs", type=int, default=200)

@@ -13,12 +13,14 @@ from if_defense_tpu.models.pointnet import (
 from if_defense_tpu.models.pointnet2 import PointNet2ClsSsg
 from if_defense_tpu.models.dgcnn import DGCNN
 from if_defense_tpu.models.pointconv import PointConvDensityClsSsg
+from if_defense_tpu.models.rscnn import RSCNN
 
 MODEL_REGISTRY = {
     "pointnet": PointNetCls,
     "pointnet2": PointNet2ClsSsg,
     "dgcnn": DGCNN,
     "pointconv": PointConvDensityClsSsg,
+    "rscnn": RSCNN,
 }
 
 
@@ -38,6 +40,7 @@ __all__ = [
     "PointNet2ClsSsg",
     "DGCNN",
     "PointConvDensityClsSsg",
+    "RSCNN",
     "feature_transform_regularizer",
     "MODEL_REGISTRY",
     "build_model",

@@ -31,7 +31,7 @@ def _init_and_apply(name, train=False, **kwargs):
     return logits, aux, variables, None
 
 
-@pytest.mark.parametrize("name", ["pointnet", "pointnet2", "dgcnn", "pointconv"])
+@pytest.mark.parametrize("name", ["pointnet", "pointnet2", "dgcnn", "pointconv", "rscnn"])
 def test_forward_shape(name):
     logits, aux, _, _ = _init_and_apply(name)
     assert logits.shape == (B, NC)
