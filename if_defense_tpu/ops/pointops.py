@@ -153,8 +153,10 @@ def farthest_point_sample(
     """Iterative farthest point sampling.
 
     Same algorithm as `baselines/model/pointnet2.py:53-74`: keep a running
-    min-distance-to-selected-set per point, greedily pick the argmax. The N
-    sequential steps run as a `lax.fori_loop` with all state on device.
+    min-distance-to-selected-set per point, greedily pick the argmax. On
+    TPU the whole sequential loop runs inside one Pallas kernel
+    (`pallas_fps.fps_pallas`, state resident in VMEM); elsewhere it is a
+    `lax.fori_loop`. Both produce identical indices.
 
     Args:
         xyz: [B, N, 3]
@@ -166,6 +168,10 @@ def farthest_point_sample(
     """
     B, N, _ = xyz.shape
     if start_idx is None:
+        if jax.default_backend() == "tpu":
+            from if_defense_tpu.ops.pallas_fps import fps_pallas
+
+            return fps_pallas(xyz, npoint)
         start_idx = jnp.zeros((B,), jnp.int32)
 
     def single(xyz_b, start_b):
