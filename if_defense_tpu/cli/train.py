@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--feature_transform", action="store_true")
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument("--output", default="runs/train")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path to resume from (params, optimizer "
+                        "state, batch stats, epoch — the reference's "
+                        "train.py:228 can only hard-start)")
     p.add_argument("--seed", type=int, default=1)
     return p.parse_args(argv)
 
@@ -98,6 +102,14 @@ def main(argv=None):
         learning_rate=args.lr, weight_decay=args.weight_decay,
         total_epochs=args.epochs, steps_per_epoch=steps_per_epoch,
     )
+    start_epoch = 1
+    if args.resume:
+        from if_defense_tpu.utils import restore_checkpoint
+
+        state, meta = restore_checkpoint(args.resume, state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+
     train_step = make_train_step(
         model, smoothing=args.smoothing,
         fea_reg_weight=0.001 if args.feature_transform else 0.0,
@@ -106,7 +118,7 @@ def main(argv=None):
 
     best_acc, best_epoch = 0.0, 0
     dropout_rng = jax.random.key(args.seed + 1)
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(start_epoch, args.epochs + 1):
         loss_meter, acc_meter = AverageMeter(), AverageMeter()
         t0 = time.time()
         for (pc, label), valid in batch_iterator(

@@ -52,6 +52,59 @@ class DecoderCBatchNorm(nn.Module):
         return out[..., 0]
 
 
+class DecoderFC(nn.Module):
+    """Plain (un-normalised) decoder variant
+    (`ONet/im2mesh/onet/models/decoder.py:10-74`): additive z/c
+    conditioning + 5 FC ResNet blocks. Registry name 'simple'."""
+
+    hidden_size: int = 128
+    c_dim: int = 512
+    z_dim: int = 0
+
+    @nn.compact
+    def __call__(self, p, c=None, z=None, train: bool = False):
+        net = nn.Dense(self.hidden_size, name="fc_p")(p)
+        if self.z_dim and z is not None:
+            net = net + nn.Dense(self.hidden_size, name="fc_z")(z)[:, None]
+        if self.c_dim and c is not None:
+            net = net + nn.Dense(self.hidden_size, name="fc_c")(c)[:, None]
+        for i in range(5):
+            net = ResnetBlockFC(name=f"block{i}")(net)
+        out = nn.Dense(1, name="fc_out")(nn.relu(net))
+        return out[..., 0]
+
+
+class LatentEncoder(nn.Module):
+    """VAE latent encoder q(z | pc, occ) —
+    `ONet/im2mesh/onet/models/encoder_latent.py`. Vestigial in the defense
+    path (z_dim 0 in the shipped config) but part of the ONet API; used
+    only when training the generative variant."""
+
+    z_dim: int = 64
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, p, occ):
+        # p: [B, T, 3]; occ: [B, T]
+        net = jnp.concatenate([p, occ[..., None]], axis=-1)
+        net = nn.Dense(self.hidden_dim, name="fc_pos")(net)
+        for i in range(3):
+            pooled = jnp.max(net, axis=1, keepdims=True)
+            pooled = jnp.broadcast_to(pooled, net.shape)
+            net = jnp.concatenate([net, pooled], axis=-1)
+            net = nn.Dense(self.hidden_dim, name=f"fc_{i}")(nn.relu(net))
+        net = jnp.max(net, axis=1)
+        mean = nn.Dense(self.z_dim, name="fc_mean")(net)
+        logstd = nn.Dense(self.z_dim, name="fc_logstd")(net)
+        return mean, logstd
+
+
+DECODER_REGISTRY = {
+    "simple": DecoderFC,
+    "cbatchnorm": DecoderCBatchNorm,
+}
+
+
 class OccupancyNetwork(nn.Module):
     """ONet with the reference API: encode_inputs / decode.
 

@@ -12,6 +12,7 @@ matmul + masked sort per level. All shapes static.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from if_defense_tpu.models.common import DenseBN, PointwiseMLP
@@ -71,6 +72,66 @@ class SetAbstraction(nn.Module):
             )
         feat = PointwiseMLP(list(self.mlp), use_bn=self.use_bn)(grouped, train)
         return new_xyz, jnp.max(feat, axis=2)     # pool over neighbourhood
+
+
+class SetAbstractionMsg(nn.Module):
+    """Multi-scale grouping SA (`baselines/model/pointnet2.py:197-255`):
+    several (radius, nsample, mlp) branches around shared FPS centres,
+    concatenated channel-wise."""
+
+    npoint: int
+    radius_list: tuple
+    nsample_list: tuple
+    mlp_list: tuple
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, points, train: bool = False):
+        fps_idx = farthest_point_sample(xyz, self.npoint)
+        new_xyz = index_points(xyz, fps_idx)
+        outs = []
+        for radius, nsample, mlp in zip(
+            self.radius_list, self.nsample_list, self.mlp_list
+        ):
+            idx = query_ball_point(radius, nsample, xyz, new_xyz)
+            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if points is not None:
+                grouped = jnp.concatenate(
+                    [index_points(points, idx), grouped_xyz], -1)
+            else:
+                grouped = grouped_xyz
+            feat = PointwiseMLP(list(mlp), use_bn=self.use_bn)(grouped, train)
+            outs.append(jnp.max(feat, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """Inverse-distance 3-NN feature upsampling + pointwise MLP
+    (`baselines/model/pointnet2.py:258-309`) — the segmentation-style
+    decoder stage (also the PU-Net FP building block)."""
+
+    mlp: tuple
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, points1, points2, train: bool = False):
+        # xyz1 [B, N, 3] targets; xyz2 [B, S, 3] sources with points2
+        B, N, _ = xyz1.shape
+        S = xyz2.shape[1]
+        if S == 1:
+            interp = jnp.broadcast_to(points2, (B, N, points2.shape[-1]))
+        else:
+            from if_defense_tpu.ops import square_distance
+
+            d = square_distance(xyz1, xyz2)
+            neg_top, idx = jax.lax.top_k(-d, 3)
+            w = 1.0 / (-neg_top + 1e-8)
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+            interp = jnp.sum(
+                index_points(points2, idx) * w[..., None], axis=2)
+        if points1 is not None:
+            interp = jnp.concatenate([points1, interp], axis=-1)
+        return PointwiseMLP(list(self.mlp), use_bn=self.use_bn)(interp, train)
 
 
 class PointNet2ClsSsg(nn.Module):

@@ -31,6 +31,7 @@ from if_defense_tpu.ops.normalize import (
     normalize_unit_sphere,
     normalize_unit_cube,
 )
+from if_defense_tpu.ops.metrics3d import compute_iou
 
 __all__ = [
     "square_distance",
@@ -48,4 +49,5 @@ __all__ = [
     "bilinear_plane_sample",
     "normalize_unit_sphere",
     "normalize_unit_cube",
+    "compute_iou",
 ]
