@@ -174,12 +174,15 @@ def generate_meshes(
     refine: bool = True,
     max_active: int = 8192,
     chunk: int = 65536,
+    simplify_nfaces: int | None = None,
 ):
     """Extract one mesh per latent in the batch.
 
     Args:
         decode_fn: (variables, points [B, P, 3], c) -> logits [B, P].
         c: batch latent (code or plane dict).
+        simplify_nfaces: optional QEM simplification target
+            (generation.py:210-213; the shipped configs leave it null).
     Returns:
         list of (vertices [V, 3] float32 world coords, triangles [T, 3]).
     """
@@ -213,7 +216,12 @@ def generate_meshes(
         verts = verts - 1.0                            # undo padding
         verts = verts / R                              # [0, 1]
         verts = (verts - 0.5) * box_size               # world box
-        meshes.append((verts.astype(np.float32), tris))
+        verts = verts.astype(np.float32)
+        if simplify_nfaces is not None and len(tris) > simplify_nfaces:
+            from if_defense_tpu.native import simplify_mesh
+
+            verts, tris = simplify_mesh(verts, tris, simplify_nfaces)
+        meshes.append((verts, tris))
     return meshes
 
 

@@ -15,19 +15,21 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "isosurface.cpp")
-_SO = os.path.join(_DIR, "libisosurface.so")
+_SRCS = [os.path.join(_DIR, "isosurface.cpp"),
+         os.path.join(_DIR, "simplify.cpp")]
+_SO = os.path.join(_DIR, "libgeometry.so")
 _lib = None
 
 
 def build(force: bool = False) -> str:
     """Compile the native library if missing (g++ -O3 -shared)."""
-    if force or not os.path.exists(_SO) or (
-        os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-    ):
+    stale = force or not os.path.exists(_SO) or any(
+        os.path.getmtime(_SO) < os.path.getmtime(src) for src in _SRCS
+    )
+    if stale:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _SO, _SRC],
+             "-o", _SO, *_SRCS],
             check=True,
         )
     return _SO
@@ -47,6 +49,17 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.mt_free.argtypes = [ctypes.c_void_p]
+        lib.qem_simplify.restype = ctypes.c_int
+        lib.qem_simplify.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.qem_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
 
@@ -85,3 +98,44 @@ def marching_isosurface(volume: np.ndarray, iso: float):
         lib.mt_free(vp)
         lib.mt_free(tp)
     return verts, tris
+
+
+def simplify_mesh(
+    vertices: np.ndarray,
+    triangles: np.ndarray,
+    target_faces: int,
+    aggressiveness: float = 5.0,
+):
+    """Quadric-error-metric simplification toward `target_faces`.
+
+    Role of the reference's `libsimplify.simplify_mesh` (used by the mesh
+    generator when `simplify_nfaces` is configured).
+
+    Returns:
+        (vertices [V', 3] float32, triangles [T', 3] int64)
+    """
+    lib = _load()
+    verts = np.ascontiguousarray(vertices, np.float32)
+    tris = np.ascontiguousarray(triangles, np.int64)
+    vp = ctypes.POINTER(ctypes.c_float)()
+    tp = ctypes.POINTER(ctypes.c_int64)()
+    nv = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    rc = lib.qem_simplify(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(tris),
+        target_faces, ctypes.c_double(aggressiveness),
+        ctypes.byref(vp), ctypes.byref(nv),
+        ctypes.byref(tp), ctypes.byref(nt),
+    )
+    if rc != 0:
+        raise RuntimeError("mesh simplification failed (alloc)")
+    try:
+        out_v = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy() \
+            if nv.value else np.zeros((0, 3), np.float32)
+        out_t = np.ctypeslib.as_array(tp, shape=(nt.value, 3)).copy() \
+            if nt.value else np.zeros((0, 3), np.int64)
+    finally:
+        lib.qem_free(vp)
+        lib.qem_free(tp)
+    return out_v, out_t

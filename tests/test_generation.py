@@ -103,3 +103,29 @@ def test_sample_surface_empty_mesh_raises():
 def test_logit_threshold():
     assert abs(logit_threshold(0.5)) < 1e-9
     assert logit_threshold(0.2) < 0
+
+
+def test_simplify_mesh_preserves_sphere():
+    from if_defense_tpu.native import marching_isosurface, simplify_mesh
+
+    n = 32
+    g = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    vol = 0.6 - np.sqrt(X**2 + Y**2 + Z**2)
+    verts, tris = marching_isosurface(vol, 0.0)
+    sv, st = simplify_mesh(verts, tris, target_faces=len(tris) // 6)
+    assert len(st) <= len(tris) // 4  # made real progress
+    world = sv / (n - 1) * 2 - 1
+    r = np.sqrt((world**2).sum(-1))
+    np.testing.assert_allclose(r.mean(), 0.6, atol=0.02)
+
+
+def test_generate_meshes_with_simplify():
+    c = jnp.array([0.3])
+    (verts, tris), = generate_meshes(
+        sphere_decode, None, c, threshold=0.5, resolution0=16,
+        upsample=2, refine=False, chunk=4096, simplify_nfaces=200,
+    )
+    assert len(tris) <= 400
+    r = np.sqrt((verts**2).sum(-1))
+    np.testing.assert_allclose(r.mean(), 0.3, atol=0.05)
