@@ -21,9 +21,9 @@ from if_defense_tpu.implicit.layers import ResnetBlockFC
 from if_defense_tpu.implicit.unet2d import UNet2D
 from if_defense_tpu.ops import (
     bilinear_plane_sample,
-    scatter_max_2d,
     scatter_mean_2d,
 )
+from if_defense_tpu.ops.scatter import pooled_max_by_cell
 
 PLANES = ("xz", "xy", "yz")
 _PLANE_AXES = {"xz": (0, 2), "xy": (0, 1), "yz": (1, 2)}
@@ -68,14 +68,11 @@ class LocalPoolPointnet(nn.Module):
         net = nn.Dense(2 * self.hidden_dim, name="fc_pos")(p)
         net = ResnetBlockFC(self.hidden_dim, name="blocks_0")(net)
         for i in range(1, self.n_blocks):
-            # local pooling: max-scatter into each plane's cells, gather
-            # back per point, summed over planes (pool_local :104-122)
+            # local pooling: per-point max over same-cell points, summed
+            # over planes (pool_local :104-122) — scatter-free on TPU
             pooled = 0
             for pl in PLANES:
-                fea = scatter_max_2d(net, index[pl], R * R)  # [B, R*R, h]
-                pooled = pooled + jnp.take_along_axis(
-                    fea, index[pl][..., None], axis=1
-                )
+                pooled = pooled + pooled_max_by_cell(net, index[pl])
             net = jnp.concatenate([net, pooled], axis=-1)
             net = ResnetBlockFC(self.hidden_dim, name=f"blocks_{i}")(net)
 

@@ -1,0 +1,232 @@
+"""Synthetic 8-class shape dataset (ModelNet40-schema npz + occupancy npz).
+
+The environment has no ModelNet40 data, so end-to-end quality experiments
+(train victim -> attack -> defend -> evaluate) run on an analytic shape
+family instead: sphere, box, cylinder, torus, cone, capsule, ellipsoid,
+cross — each with randomised size/aspect, unit-sphere normalised like the
+real pipeline. Analytic inside-tests give exact occupancy labels for
+implicit-net training on the same family.
+
+Usage:
+    python tools/synthetic_dataset.py --out_dir data_synth \
+        [--train_per_class 200 --test_per_class 50 --num_points 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CLASSES = ["sphere", "box", "cylinder", "torus", "cone", "capsule",
+           "ellipsoid", "cross"]
+
+
+def _unit_dirs(rng, n):
+    d = rng.normal(size=(n, 3))
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+
+def _surface(cls: str, n: int, rng) -> tuple[np.ndarray, dict]:
+    """Sample n surface points + shape params (for occupancy)."""
+    if cls == "sphere":
+        r = rng.uniform(0.5, 1.0)
+        return r * _unit_dirs(rng, n), {"r": r}
+    if cls == "ellipsoid":
+        axes = rng.uniform(0.3, 1.0, 3)
+        return _unit_dirs(rng, n) * axes, {"axes": axes}
+    if cls == "box":
+        half = rng.uniform(0.35, 0.9, 3)
+        face = rng.integers(0, 3, n)
+        sign = rng.choice([-1.0, 1.0], n)
+        p = rng.uniform(-1, 1, (n, 3)) * half
+        p[np.arange(n), face] = sign * half[face]
+        return p, {"half": half}
+    if cls == "cylinder":
+        r, h = rng.uniform(0.3, 0.7), rng.uniform(0.5, 1.0)
+        # split by area between side and caps
+        side_frac = (2 * np.pi * r * 2 * h) / (
+            2 * np.pi * r * 2 * h + 2 * np.pi * r * r)
+        on_side = rng.random(n) < side_frac
+        theta = rng.uniform(0, 2 * np.pi, n)
+        p = np.zeros((n, 3))
+        rr = np.where(on_side, r, r * np.sqrt(rng.random(n)))
+        p[:, 0] = rr * np.cos(theta)
+        p[:, 2] = rr * np.sin(theta)
+        p[:, 1] = np.where(on_side, rng.uniform(-h, h, n),
+                           rng.choice([-1.0, 1.0], n) * h)
+        return p, {"r": r, "h": h}
+    if cls == "cone":
+        r, h = rng.uniform(0.4, 0.8), rng.uniform(0.6, 1.1)
+        u = np.sqrt(rng.random(n))           # area-uniform along the slant
+        theta = rng.uniform(0, 2 * np.pi, n)
+        on_base = rng.random(n) < r / (r + np.sqrt(r * r + h * h))
+        rr = np.where(on_base, r * np.sqrt(rng.random(n)), r * u)
+        y = np.where(on_base, -h / 2, h / 2 - u * h)
+        p = np.stack([rr * np.cos(theta), y, rr * np.sin(theta)], 1)
+        return p, {"r": r, "h": h}
+    if cls == "torus":
+        R, a = rng.uniform(0.5, 0.8), rng.uniform(0.12, 0.3)
+        u = rng.uniform(0, 2 * np.pi, n)
+        v = rng.uniform(0, 2 * np.pi, n)
+        p = np.stack([
+            (R + a * np.cos(v)) * np.cos(u),
+            a * np.sin(v),
+            (R + a * np.cos(v)) * np.sin(u),
+        ], 1)
+        return p, {"R": R, "a": a}
+    if cls == "capsule":
+        r, h = rng.uniform(0.25, 0.45), rng.uniform(0.4, 0.8)
+        d = _unit_dirs(rng, n)
+        p = r * d
+        cap = rng.random(n) < 0.5
+        p[:, 1] += np.where(cap, h, -h) * (np.abs(d[:, 1]) > 0.0)
+        # cylinder side fill
+        side = rng.random(n) < 0.5
+        theta = rng.uniform(0, 2 * np.pi, n)
+        ys = rng.uniform(-h, h, n)
+        p[side] = np.stack([r * np.cos(theta), ys,
+                            r * np.sin(theta)], 1)[side]
+        return p, {"r": r, "h": h}
+    if cls == "cross":
+        h1 = np.array([rng.uniform(0.6, 1.0), rng.uniform(0.15, 0.3),
+                       rng.uniform(0.15, 0.3)])
+        h2 = np.array([rng.uniform(0.15, 0.3), rng.uniform(0.6, 1.0),
+                       rng.uniform(0.15, 0.3)])
+        out = []
+        for half in (h1, h2):
+            m = n // 2
+            face = rng.integers(0, 3, m)
+            sign = rng.choice([-1.0, 1.0], m)
+            p = rng.uniform(-1, 1, (m, 3)) * half
+            p[np.arange(m), face] = sign * half[face]
+            out.append(p)
+        p = np.concatenate(out)[:n]
+        # drop points inside the other bar (keep outer surface only)
+        inside1 = np.all(np.abs(p) < h1 * 0.999, axis=1)
+        inside2 = np.all(np.abs(p) < h2 * 0.999, axis=1)
+        keep = ~(inside1 | inside2)
+        p = p[keep]
+        while len(p) < n:
+            p = np.concatenate([p, p[: n - len(p)]])
+        return p[:n], {"h1": h1, "h2": h2}
+    raise ValueError(cls)
+
+
+def _occupancy(cls: str, params: dict, q: np.ndarray) -> np.ndarray:
+    x, y, z = q[:, 0], q[:, 1], q[:, 2]
+    if cls == "sphere":
+        return (q**2).sum(1) < params["r"] ** 2
+    if cls == "ellipsoid":
+        return ((q / params["axes"]) ** 2).sum(1) < 1
+    if cls == "box":
+        return np.all(np.abs(q) < params["half"], axis=1)
+    if cls == "cylinder":
+        return (x**2 + z**2 < params["r"] ** 2) & (np.abs(y) < params["h"])
+    if cls == "cone":
+        r, h = params["r"], params["h"]
+        t = (h / 2 - y) / h                      # 0 at apex, 1 at base
+        return (np.abs(y) < h / 2) & (x**2 + z**2 < (r * t) ** 2)
+    if cls == "torus":
+        R, a = params["R"], params["a"]
+        return (np.sqrt(x**2 + z**2) - R) ** 2 + y**2 < a**2
+    if cls == "capsule":
+        r, h = params["r"], params["h"]
+        yy = np.clip(y, -h, h)
+        return x**2 + (y - yy) ** 2 + z**2 < r**2
+    if cls == "cross":
+        return (np.all(np.abs(q) < params["h1"], axis=1)
+                | np.all(np.abs(q) < params["h2"], axis=1))
+    raise ValueError(cls)
+
+
+def _normalize(pc: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
+    c = pc.mean(0)
+    pc = pc - c
+    s = np.sqrt((pc**2).sum(1)).max()
+    return pc / s, c, s
+
+
+def make_classification_npz(out_path, train_per_class, test_per_class,
+                            num_points, seed=0):
+    rng = np.random.default_rng(seed)
+    train_pc, train_label, test_pc, test_label = [], [], [], []
+    for ci, cls in enumerate(CLASSES):
+        for split, count, pcs, labels in (
+            ("train", train_per_class, train_pc, train_label),
+            ("test", test_per_class, test_pc, test_label),
+        ):
+            for _ in range(count):
+                p, _ = _surface(cls, num_points, rng)
+                p, _, _ = _normalize(p)
+                pcs.append(p.astype(np.float32))
+                labels.append(ci)
+    n_test = len(test_label)
+    target = (np.array(test_label) + rng.integers(
+        1, len(CLASSES), n_test)) % len(CLASSES)
+    np.savez_compressed(
+        out_path,
+        train_pc=np.stack(train_pc), train_label=np.array(train_label,
+                                                          np.uint8),
+        test_pc=np.stack(test_pc), test_label=np.array(test_label, np.uint8),
+        target_label=target.astype(np.uint8),
+    )
+    return out_path
+
+
+def make_occupancy_npz(out_path, per_class, surface_n, query_n,
+                       padding=0.1, seed=1):
+    rng = np.random.default_rng(seed)
+    pcs, qs, occs, labels = [], [], [], []
+    for ci, cls in enumerate(CLASSES):
+        for _ in range(per_class):
+            p, params = _surface(cls, surface_n, rng)
+            # normalise to the ONet unit-cube convention (max extent 1)
+            center = (p.max(0) + p.min(0)) / 2
+            scale = (p.max(0) - p.min(0)).max()
+            pn = (p - center) / scale
+            q = rng.uniform(-0.5 * (1 + padding), 0.5 * (1 + padding),
+                            (query_n, 3)).astype(np.float32)
+            occ = _occupancy(cls, params, q * scale + center)
+            pcs.append(pn.astype(np.float32))
+            qs.append(q)
+            occs.append(occ)
+            labels.append(ci)
+    np.savez_compressed(
+        out_path,
+        pointcloud=np.stack(pcs), points=np.stack(qs),
+        points_occ=np.stack(occs).astype(np.float32),
+        labels=np.array(labels, np.int32),
+    )
+    return out_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out_dir", default="data_synth")
+    p.add_argument("--train_per_class", type=int, default=200)
+    p.add_argument("--test_per_class", type=int, default=50)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--occ_per_class", type=int, default=50)
+    p.add_argument("--surface_n", type=int, default=2048)
+    p.add_argument("--query_n", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    cls_path = make_classification_npz(
+        os.path.join(args.out_dir, "synth8.npz"),
+        args.train_per_class, args.test_per_class, args.num_points,
+        args.seed)
+    occ_path = make_occupancy_npz(
+        os.path.join(args.out_dir, "synth8_occ.npz"),
+        args.occ_per_class, args.surface_n, args.query_n, seed=args.seed + 1)
+    print(f"wrote {cls_path} and {occ_path}")
+    return cls_path, occ_path
+
+
+if __name__ == "__main__":
+    main()
