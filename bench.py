@@ -35,8 +35,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true",
                         help="tiny CPU-friendly shapes (compile check)")
-    parser.add_argument("--batch_size", type=int, default=192)
-    parser.add_argument("--num_batches", type=int, default=3)
+    # batch is an implementation detail (the reference's 192 was a GPU
+    # memory cap); 48 is throughput-optimal on v5e — the [B, 1024, 1024]
+    # distance matrices stay HBM-friendly
+    parser.add_argument("--batch_size", type=int, default=48)
+    parser.add_argument("--num_batches", type=int, default=8)
     args = parser.parse_args()
 
     import jax
