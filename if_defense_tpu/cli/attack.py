@@ -72,6 +72,9 @@ def parse_args(argv=None):
     p.add_argument("--budget", type=float, default=0.08)
     # kNN params
     p.add_argument("--knn_budget", type=float, default=0.1)
+    p.add_argument("--approx_knn", action="store_true",
+                   help="approx_max_k selection inside the kNN-attack "
+                        "distance (faster on TPU, advisory graph)")
     # Drop params
     p.add_argument("--num_drop", type=int, default=200)
     p.add_argument("--seed", type=int, default=1)
@@ -134,10 +137,13 @@ def build_attack(args, logits_fn):
 
     if name == "knn":
         iters = args.num_iter or 2500
+        dist = functools.partial(
+            chamfer_knn_dist,
+            knn_method="approx" if args.approx_knn else "sort")
 
         def run(pc, label, target, normal, key):
             adv, succ = cw_knn(
-                logits_fn, pc, target, key, chamfer_knn_dist,
+                logits_fn, pc, target, key, dist,
                 normal=normal, attack_lr=1e-3, num_iter=iters,
                 budget=args.knn_budget)
             return adv, succ
