@@ -158,6 +158,12 @@ def main(argv=None):
         {"model": args.model, "epoch": args.epochs,
          "num_points": args.num_points},
     )
+    if best_epoch > 0:
+        from if_defense_tpu.utils.registry import register_checkpoint
+
+        register_checkpoint(
+            os.path.basename(args.data).replace(".npz", ""), args.model,
+            os.path.join(args.output, "best"), args.num_points)
     metrics.write(best_acc=best_acc, best_epoch=best_epoch)
     return best_acc
 
