@@ -154,28 +154,22 @@ def active_voxel_refinement(
     vx = np.stack([idx // (R0 * R0), (idx // R0) % R0, idx % R0], -1)
     fine_idx = vx[:, :, None, :] * U + offs[None, None]      # [B,K,O,3]
 
-    # assemble: nearest-upsample the coarse field, scatter refined values
-    coarse = np.asarray(coarse_logits)                 # [B, R0+1]^3
-    fine = np.repeat(np.repeat(np.repeat(
-        coarse[:, :-1, :-1, :-1], U, 1), U, 2), U, 3)
-    fine = np.pad(fine, ((0, 0), (0, 1), (0, 1), (0, 1)), "edge")
-    # keep exact coarse values at coarse grid points
-    fine[:, ::U, ::U, ::U] = coarse
+    # assemble per cloud in the native kernel: nearest-upsampled coarse
+    # values + scattered refined values in one fused pass (the batched
+    # numpy repeat+scatter dominated host time)
+    from if_defense_tpu.native import assemble_fine_grid
 
-    fi = fine_idx.reshape(B, -1, 3)
-    valid = np.take_along_axis(
-        active_mask, idx, axis=1
-    )                                                  # [B, K]
-    valid = np.repeat(valid, len(offs), axis=1)        # [B, K*O]
-    # one vectorised flat scatter — duplicate fine-grid coordinates carry
-    # identical values (same field point), so assignment order is free
+    coarse = np.asarray(coarse_logits)                 # [B, R0+1]^3
     Rp = Rf + 1
-    bb, vv = np.nonzero(valid)
-    flat_idx = (
-        ((bb * Rp + fi[bb, vv, 0]) * Rp + fi[bb, vv, 1]) * Rp
-        + fi[bb, vv, 2]
-    )
-    fine.ravel()[flat_idx] = fine_vals_at[bb, vv]
+    fi = fine_idx.reshape(B, -1, 3)
+    flat_all = (fi[..., 0] * Rp + fi[..., 1]) * Rp + fi[..., 2]  # [B, K*O]
+    valid = np.repeat(
+        np.take_along_axis(active_mask, idx, axis=1), len(offs), axis=1)
+    fine = np.empty((B, Rp, Rp, Rp), np.float32)
+    for b in range(B):
+        v = valid[b]
+        fine[b] = assemble_fine_grid(
+            coarse[b], U, flat_all[b][v], fine_vals_at[b][v])
     return fine
 
 

@@ -16,7 +16,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "isosurface.cpp"),
-         os.path.join(_DIR, "simplify.cpp")]
+         os.path.join(_DIR, "simplify.cpp"),
+         os.path.join(_DIR, "assemble.cpp")]
 _SO = os.path.join(_DIR, "libgeometry.so")
 _lib = None
 
@@ -60,6 +61,12 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.qem_free.argtypes = [ctypes.c_void_p]
+        lib.assemble_fine.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
     return _lib
 
@@ -139,3 +146,35 @@ def simplify_mesh(
         lib.qem_free(vp)
         lib.qem_free(tp)
     return out_v, out_t
+
+
+def assemble_fine_grid(
+    coarse: np.ndarray, upsample: int,
+    flat_idx: np.ndarray, values: np.ndarray,
+) -> np.ndarray:
+    """Dense fine grid = nearest-upsampled coarse + scattered refined values.
+
+    Args:
+        coarse: [R0+1, R0+1, R0+1] float32 coarse logits (one cloud).
+        upsample: fine cells per coarse cell.
+        flat_idx: [n] int64 raveled indices into the (R0*u+1)^3 fine grid.
+        values: [n] float32 refined logits.
+    Returns:
+        [Rf+1, Rf+1, Rf+1] float32 fine grid.
+    """
+    lib = _load()
+    coarse = np.ascontiguousarray(coarse, np.float32)
+    r0 = coarse.shape[0] - 1
+    rf = r0 * upsample + 1
+    flat_idx = np.ascontiguousarray(flat_idx, np.int64)
+    values = np.ascontiguousarray(values, np.float32)
+    out = np.empty((rf, rf, rf), np.float32)
+    lib.assemble_fine(
+        coarse.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        r0, upsample,
+        flat_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(values),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
