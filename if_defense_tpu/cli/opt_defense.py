@@ -49,6 +49,9 @@ def parse_args(argv=None):
     p.add_argument("--no_sor", action="store_true")
     p.add_argument("--sor_k", type=int, default=2)
     p.add_argument("--sor_alpha", type=float, default=1.1)
+    p.add_argument("--knn_refresh", type=int, default=1,
+                   help="rebuild the repulsion kNN graph every R "
+                        "iterations (1 = reference semantics)")
     p.add_argument("--seed", type=int, default=1)
     return p.parse_args(argv)
 
@@ -66,6 +69,7 @@ def build_defend_fn(args):
         sor=not args.no_sor,
         sor_k=args.sor_k,
         sor_alpha=args.sor_alpha,
+        knn_refresh=args.knn_refresh,
     )
     if args.variant == "convonet":
         model = ConvOccupancyNetwork()

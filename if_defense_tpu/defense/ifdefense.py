@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from if_defense_tpu.defense.repulsion import repulsion_loss
+from if_defense_tpu.defense.repulsion import repulsion_knn, repulsion_loss_with_idx
 from if_defense_tpu.defense.sor import sor_defense
 from if_defense_tpu.ops import normalize_unit_cube, normalize_unit_sphere
 
@@ -78,6 +78,7 @@ def make_opt_defense(
     sor_k: int = 2,
     sor_alpha: float = 1.1,
     exact_knn: bool = False,
+    knn_refresh: int = 1,
 ):
     """Build the jitted defense: (variables, pc [B, K, 3], key) ->
     [B, sample_npoint, 3].
@@ -87,6 +88,11 @@ def make_opt_defense(
     feature planes). The params travel as jit ARGUMENTS — closing over them
     would bake every weight into the lowered module as an MLIR constant
     (slow host fetches at trace time, bloated HLO).
+
+    `knn_refresh`: rebuild the repulsion neighbour graph every R
+    iterations (reference semantics = 1, the default; points move
+    ~lr=1e-3 per step so modest R barely changes the graph and
+    amortises the kNN selection cost).
     """
     opt = optax.adam(lr)
 
@@ -110,24 +116,35 @@ def make_opt_defense(
             pts + noise, -0.5 * padding_scale, 0.5 * padding_scale
         )
 
-        def loss_fn(p):
+        def loss_fn(p, idx):
             occ = decode_fn(variables, p, c)          # [B, sample_npoint]
             occ_loss = occupancy_bce(occ, threshold) * sample_npoint
-            rep = jnp.mean(repulsion_loss(p, exact=exact_knn)) * rep_weight
+            rep = jnp.mean(repulsion_loss_with_idx(p, idx)) * rep_weight
             return occ_loss + rep
 
         grad_fn = jax.grad(loss_fn)
 
-        def step(carry, _):
-            p, opt_state = carry
-            grads = grad_fn(p)
+        def step(carry, i):
+            p, opt_state, idx = carry
+            if knn_refresh == 1:
+                idx = repulsion_knn(p, exact=exact_knn)
+            else:
+                idx = jax.lax.cond(
+                    i % knn_refresh == 0,
+                    lambda q, _: repulsion_knn(q, exact=exact_knn),
+                    lambda _, old: old,
+                    p, idx,
+                )
+            grads = grad_fn(p, idx)
             updates, opt_state = opt.update(grads, opt_state, p)
             p = optax.apply_updates(p, updates)
-            return (p, opt_state), None
+            return (p, opt_state, idx), None
 
         # reference runs `range(iterations + 1)` -> 201 steps
-        (pts, _), _ = jax.lax.scan(
-            step, (pts, opt.init(pts)), None, length=iterations + 1
+        idx0 = repulsion_knn(pts, exact=exact_knn)
+        (pts, _, _), _ = jax.lax.scan(
+            step, (pts, opt.init(pts), idx0),
+            jnp.arange(iterations + 1),
         )
         return normalize_unit_sphere(pts)
 

@@ -23,6 +23,31 @@ import jax.numpy as jnp
 from if_defense_tpu.ops import gather_neighbors, knn_self
 
 
+def repulsion_knn(pc: jax.Array, nn_size: int = 5,
+                  exact: bool = False) -> jax.Array:
+    """Repulsion neighbour graph, [B, N, k] (under stop_gradient)."""
+    return jax.lax.stop_gradient(
+        knn_self(nn_size, pc, method="sort" if exact else "approx")
+    )
+
+
+def repulsion_loss_with_idx(
+    pc: jax.Array,
+    idx: jax.Array,
+    radius: float = 0.07,
+    h: float = 0.03,
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Repulsion loss against a precomputed neighbour graph, [B]."""
+    grouped = gather_neighbors(pc, idx)                 # [B, N, k, 3]
+    diff = grouped - pc[:, :, None, :]
+    dist2 = jnp.maximum(jnp.sum(diff * diff, axis=-1), eps)
+    dist = jnp.sqrt(dist2)                              # [B, N, k]
+    weight = jnp.exp(-((dist / h) ** 2))
+    uniform = (radius - dist) * weight
+    return jnp.mean(uniform, axis=(1, 2))               # [B]
+
+
 def repulsion_loss(
     pc: jax.Array,
     nn_size: int = 5,
@@ -36,9 +61,7 @@ def repulsion_loss(
     The kNN graph is built under stop_gradient (reference: no_grad);
     gradients flow through the distances to the fixed neighbour set.
     """
-    idx = jax.lax.stop_gradient(
-        knn_self(nn_size, pc, method="sort" if exact else "approx")
-    )
+    idx = repulsion_knn(pc, nn_size, exact)
     grouped = gather_neighbors(pc, idx)                 # [B, N, k, 3]
     diff = grouped - pc[:, :, None, :]
     dist2 = jnp.maximum(jnp.sum(diff * diff, axis=-1), eps)
