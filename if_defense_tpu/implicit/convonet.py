@@ -19,10 +19,12 @@ import jax.numpy as jnp
 
 from if_defense_tpu.implicit.layers import ResnetBlockFC
 from if_defense_tpu.implicit.unet2d import UNet2D
+from if_defense_tpu.implicit.unet3d import UNet3D
 from if_defense_tpu.ops import (
     bilinear_plane_sample,
     scatter_mean_2d,
 )
+from if_defense_tpu.ops.interp import trilinear_grid_sample
 from if_defense_tpu.ops.scatter import pooled_max_by_cell
 
 PLANES = ("xz", "xy", "yz")
@@ -43,6 +45,18 @@ def coordinate2index(xy: jax.Array, reso: int) -> jax.Array:
     return x[..., 0] + reso * x[..., 1]
 
 
+def normalize_3d_coordinate(p: jax.Array, padding: float = 0.1) -> jax.Array:
+    """Normalise 3D coords to [0, 1) (`src/common.py:260-276`)."""
+    p_nor = p / (1 + padding + 1e-3) + 0.5
+    return jnp.clip(p_nor, 0.0, 1.0 - 1e-3)
+
+
+def coordinate2index_3d(p_nor: jax.Array, reso: int) -> jax.Array:
+    """Cell index ix + reso*(iy + reso*iz) (`src/common.py:300-315`)."""
+    x = jnp.floor(p_nor * reso).astype(jnp.int32)
+    return x[..., 0] + reso * (x[..., 1] + reso * x[..., 2])
+
+
 class LocalPoolPointnet(nn.Module):
     """3-plane point encoder (`ConvONet/src/encoder/pointnet.py:11-168`)."""
 
@@ -53,17 +67,23 @@ class LocalPoolPointnet(nn.Module):
     n_blocks: int = 5
     unet: bool = True
     unet_depth: int = 4
+    plane_type: tuple = PLANES          # ("xz","xy","yz") or ("grid",)
+    grid_resolution: int = 32
+    unet3d_depth: int = 3
 
     @nn.compact
     def __call__(self, p):
         # p: [B, T, 3] in the padded unit cube
         R = self.plane_resolution
-        index = {
-            pl: coordinate2index(
-                normalize_coordinate(p, pl, self.padding), R
-            )
-            for pl in PLANES
-        }
+        Rg = self.grid_resolution
+        index = {}
+        for pl in self.plane_type:
+            if pl == "grid":
+                index[pl] = coordinate2index_3d(
+                    normalize_3d_coordinate(p, self.padding), Rg)
+            else:
+                index[pl] = coordinate2index(
+                    normalize_coordinate(p, pl, self.padding), R)
 
         net = nn.Dense(2 * self.hidden_dim, name="fc_pos")(p)
         net = ResnetBlockFC(self.hidden_dim, name="blocks_0")(net)
@@ -71,7 +91,7 @@ class LocalPoolPointnet(nn.Module):
             # local pooling: per-point max over same-cell points, summed
             # over planes (pool_local :104-122) — scatter-free on TPU
             pooled = 0
-            for pl in PLANES:
+            for pl in self.plane_type:
                 pooled = pooled + pooled_max_by_cell(net, index[pl])
             net = jnp.concatenate([net, pooled], axis=-1)
             net = ResnetBlockFC(self.hidden_dim, name=f"blocks_{i}")(net)
@@ -82,11 +102,19 @@ class LocalPoolPointnet(nn.Module):
         # self.unet is applied to each plane in turn, :68-86)
         unet = (
             UNet2D(self.c_dim, self.unet_depth, self.c_dim, name="unet")
-            if self.unet
+            if self.unet and any(pl != "grid" for pl in self.plane_type)
             else None
         )
         fea = {}
-        for pl in PLANES:
+        for pl in self.plane_type:
+            if pl == "grid":
+                vol = scatter_mean_2d(c, index[pl], Rg**3)
+                vol = vol.reshape(-1, Rg, Rg, Rg, self.c_dim)  # [B,z,y,x,c]
+                if self.unet:
+                    vol = UNet3D(self.c_dim, self.unet3d_depth,
+                                 self.c_dim, name="unet3d")(vol)
+                fea[pl] = vol
+                continue
             plane = scatter_mean_2d(c, index[pl], R * R)  # [B, R*R, c]
             plane = plane.reshape(-1, R, R, self.c_dim)   # [B, y, x, c]
             if unet is not None:
@@ -106,9 +134,16 @@ class LocalDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, p, c_planes):
-        # p: [B, T, 3]; c_planes: {plane: [B, R, R, c_dim]} -> logits [B, T]
+        # p: [B, T, 3]; c_planes: {plane: [B, R, R, c_dim]} (and/or a
+        # 'grid' [B, Rg, Rg, Rg, c_dim] volume) -> logits [B, T]
         c = 0
-        for pl in PLANES:
+        for pl in c_planes:
+            if pl == "grid":
+                # normalised (x, y, z); the volume is laid out [z, y, x]
+                # matching coordinate2index_3d's ix-fastest flattening
+                uvw = normalize_3d_coordinate(p, self.padding)
+                c = c + trilinear_grid_sample(c_planes[pl], uvw)
+                continue
             uv = normalize_coordinate(p, pl, self.padding)   # [B, T, 2]
             c = c + bilinear_plane_sample(c_planes[pl], uv)  # [B, T, c_dim]
 
@@ -127,10 +162,14 @@ class ConvOccupancyNetwork(nn.Module):
     hidden_dim: int = 32
     plane_resolution: int = 64
     padding: float = 0.1
+    plane_type: tuple = PLANES
+    grid_resolution: int = 32
 
     def setup(self):
         self.encoder = LocalPoolPointnet(
-            self.c_dim, self.hidden_dim, self.plane_resolution, self.padding
+            self.c_dim, self.hidden_dim, self.plane_resolution,
+            self.padding, plane_type=self.plane_type,
+            grid_resolution=self.grid_resolution,
         )
         self.decoder = LocalDecoder(
             self.c_dim, self.hidden_dim, padding=self.padding

@@ -67,3 +67,44 @@ def bilinear_plane_sample(plane: jax.Array, uv: jax.Array) -> jax.Array:
         "bqw,bqwc->bqc", colsel, rows,
         precision=jax.lax.Precision.HIGH,
     )
+
+
+def _axis_selector(coord, size, dtype):
+    """Weighted two-hot selector for one interpolation axis, [B, Q, size]."""
+    i0 = jnp.floor(coord)
+    w = (coord - i0)[..., None]
+    lo = jnp.clip(i0, 0, size - 1).astype(jnp.int32)
+    hi = jnp.clip(i0 + 1, 0, size - 1).astype(jnp.int32)
+    return (
+        jax.nn.one_hot(lo, size, dtype=dtype) * (1 - w)
+        + jax.nn.one_hot(hi, size, dtype=dtype) * w
+    )
+
+
+def trilinear_grid_sample(grid: jax.Array, uvw: jax.Array) -> jax.Array:
+    """Sample a 3D feature volume at continuous coordinates.
+
+    The volumetric analogue of `bilinear_plane_sample` (grid_sample on a
+    5D input with align_corners=True / border padding — the ConvONet
+    'grid' plane type, `decoder.py:60-67`): three separable weighted
+    two-hot contractions.
+
+    Args:
+        grid: [B, D, H, W, C] channel-last feature volume.
+        uvw: [B, Q, 3] coordinates in [0, 1]; uvw[..., 0] indexes W (x),
+            uvw[..., 1] indexes H (y), uvw[..., 2] indexes D (z) —
+            grid_sample's (x, y, z) order.
+    Returns:
+        [B, Q, C]
+    """
+    B, D, H, W, C = grid.shape
+    x = jnp.clip(uvw[..., 0], 0.0, 1.0) * (W - 1)
+    y = jnp.clip(uvw[..., 1], 0.0, 1.0) * (H - 1)
+    z = jnp.clip(uvw[..., 2], 0.0, 1.0) * (D - 1)
+    dsel = _axis_selector(z, D, grid.dtype)                  # [B, Q, D]
+    hsel = _axis_selector(y, H, grid.dtype)
+    wsel = _axis_selector(x, W, grid.dtype)
+    p = jax.lax.Precision.HIGH
+    g = jnp.einsum("bqd,bdhwc->bqhwc", dsel, grid, precision=p)
+    g = jnp.einsum("bqh,bqhwc->bqwc", hsel, g, precision=p)
+    return jnp.einsum("bqw,bqwc->bqc", wsel, g, precision=p)

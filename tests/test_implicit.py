@@ -93,3 +93,37 @@ def test_opt_defense_end_to_end_shapes():
     r = np.sqrt((out**2).sum(-1)).max(1)
     np.testing.assert_allclose(r, 1.0, atol=1e-4)
     np.testing.assert_allclose(out.mean(1), 0.0, atol=1e-4)
+
+
+def test_convonet_grid_plane_type():
+    """The 'grid' volumetric variant (UNet3D + trilinear sampling)."""
+    model = ConvOccupancyNetwork(plane_type=("grid",), grid_resolution=8)
+    pc, q = _rand_pc(N=64), _rand_pc(seed=2, N=17)
+    variables = model.init(jax.random.key(0), pc, q)
+    c = model.apply(variables, pc, method="encode_inputs")
+    assert set(c) == {"grid"}
+    assert c["grid"].shape == (2, 8, 8, 8, 32)
+    logits = model.apply(variables, q, c, method="decode")
+    assert logits.shape == (2, 17)
+    g = jax.grad(
+        lambda p: jnp.sum(model.apply(variables, p, c, method="decode"))
+    )(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_trilinear_grid_sample_matches_manual():
+    from if_defense_tpu.ops.interp import trilinear_grid_sample
+
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 2)), jnp.float32)
+    # at exact grid points, sampling returns the stored value
+    uvw = jnp.array([[[0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+                      [1 / 3, 2 / 3, 1.0]]])
+    out = np.asarray(trilinear_grid_sample(grid, uvw))
+    np.testing.assert_allclose(out[0, 0], np.asarray(grid)[0, 0, 0, 0],
+                               atol=1e-5)
+    np.testing.assert_allclose(out[0, 1], np.asarray(grid)[0, 3, 3, 3],
+                               atol=1e-5)
+    # uvw = (x=1/3, y=2/3, z=1) -> grid[z=3, y=2, x=1]
+    np.testing.assert_allclose(out[0, 2], np.asarray(grid)[0, 3, 2, 1],
+                               atol=1e-4)
