@@ -127,3 +127,18 @@ def test_trilinear_grid_sample_matches_manual():
     # uvw = (x=1/3, y=2/3, z=1) -> grid[z=3, y=2, x=1]
     np.testing.assert_allclose(out[0, 2], np.asarray(grid)[0, 3, 2, 1],
                                atol=1e-4)
+
+
+def test_pointnetpp_convonet_variant():
+    from if_defense_tpu.implicit.pointnetpp_encoder import PointConvONet
+
+    model = PointConvONet()
+    pc, q = _rand_pc(N=128), _rand_pc(seed=3, N=19)
+    variables = model.init(jax.random.key(0), pc, q)
+    pos, fea = model.apply(variables, pc, method="encode_inputs")
+    assert pos.shape == (2, 256, 3) and fea.shape == (2, 256, 32)
+    logits = model.apply(variables, q, (pos, fea), method="decode")
+    assert logits.shape == (2, 19)
+    g = jax.grad(lambda p: jnp.sum(
+        model.apply(variables, p, (pos, fea), method="decode")))(q)
+    assert np.isfinite(np.asarray(g)).all()
