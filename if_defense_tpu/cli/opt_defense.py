@@ -52,6 +52,11 @@ def parse_args(argv=None):
     p.add_argument("--knn_refresh", type=int, default=1,
                    help="rebuild the repulsion kNN graph every R "
                         "iterations (1 = reference semantics)")
+    p.add_argument("--compute_dtype", default=None,
+                   choices=[None, "bfloat16"],
+                   help="run the decoder/repulsion fwd+bwd in bf16 "
+                        "(f32 master points + Adam; ~1.7x faster, "
+                        "accuracy-neutral in our experiments)")
     p.add_argument("--seed", type=int, default=1)
     return p.parse_args(argv)
 
@@ -70,6 +75,7 @@ def build_defend_fn(args):
         sor_k=args.sor_k,
         sor_alpha=args.sor_alpha,
         knn_refresh=args.knn_refresh,
+        compute_dtype=args.compute_dtype,
     )
     if args.variant == "convonet":
         model = ConvOccupancyNetwork()

@@ -79,6 +79,7 @@ def make_opt_defense(
     sor_alpha: float = 1.1,
     exact_knn: bool = False,
     knn_refresh: int = 1,
+    compute_dtype: str | None = None,
 ):
     """Build the jitted defense: (variables, pc [B, K, 3], key) ->
     [B, sample_npoint, 3].
@@ -93,6 +94,11 @@ def make_opt_defense(
     iterations (reference semantics = 1, the default; points move
     ~lr=1e-3 per step so modest R barely changes the graph and
     amortises the kNN selection cost).
+
+    `compute_dtype="bfloat16"` runs the decoder/repulsion forward+backward
+    in bf16 (params, latents and points cast inside the loss; the master
+    points, Adam state and losses stay f32). Reference semantics = None
+    (full f32).
     """
     opt = optax.adam(lr)
 
@@ -110,6 +116,18 @@ def make_opt_defense(
         sel = sample_valid(proc, mask, input_npoint, k_enc)
         c = encode_fn(variables, sel)
 
+        if compute_dtype is not None:
+            cd = jnp.dtype(compute_dtype)
+            loop_variables = jax.tree_util.tree_map(
+                lambda x: x.astype(cd) if jnp.issubdtype(
+                    x.dtype, jnp.floating) else x, variables)
+            c = jax.tree_util.tree_map(
+                lambda x: x.astype(cd) if jnp.issubdtype(
+                    x.dtype, jnp.floating) else x, c)
+        else:
+            cd = None
+            loop_variables = variables
+
         pts = sample_valid(proc, mask, sample_npoint, k_init)
         noise = jax.random.normal(k_noise, pts.shape) * init_sigma
         pts = jnp.clip(
@@ -117,9 +135,14 @@ def make_opt_defense(
         )
 
         def loss_fn(p, idx):
-            occ = decode_fn(variables, p, c)          # [B, sample_npoint]
-            occ_loss = occupancy_bce(occ, threshold) * sample_npoint
-            rep = jnp.mean(repulsion_loss_with_idx(p, idx)) * rep_weight
+            if cd is not None:
+                p = p.astype(cd)
+            occ = decode_fn(loop_variables, p, c)     # [B, sample_npoint]
+            occ_loss = occupancy_bce(
+                occ.astype(jnp.float32), threshold) * sample_npoint
+            rep = jnp.mean(
+                repulsion_loss_with_idx(p, idx).astype(jnp.float32)
+            ) * rep_weight
             return occ_loss + rep
 
         grad_fn = jax.grad(loss_fn)
