@@ -19,7 +19,6 @@ import functools
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from if_defense_tpu.attack import (
@@ -43,6 +42,7 @@ from if_defense_tpu.data import (
     ModelNet40NormalAttack,
     batch_iterator,
 )
+from if_defense_tpu.parallel import best_data_mesh, replicate, shard_batch
 from if_defense_tpu.utils import MetricsWriter
 from if_defense_tpu.data.npz import save_npz
 
@@ -78,6 +78,8 @@ def parse_args(argv=None):
     # Drop params
     p.add_argument("--num_drop", type=int, default=200)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--registry", default=None,
+                   help="registry JSON for registry:<dataset> checkpoints")
     return p.parse_args(argv)
 
 
@@ -180,7 +182,15 @@ def build_attack(args, logits_fn):
 
 def main(argv=None):
     args = parse_args(argv)
-    model, variables, meta = load_eval_model(args.checkpoint, args.model)
+    model, variables, meta = load_eval_model(
+        args.checkpoint, args.model, args.num_points, args.registry)
+
+    # batch-axis data parallelism: victim params replicated over the mesh,
+    # every input batch sharded on dp — XLA SPMD partitions the whole
+    # attack (the reference's per-GPU DDP + rank-shard npz story,
+    # `targeted_perturb_attack.py:99-130`, collapses to this)
+    mesh = best_data_mesh(args.batch_size)
+    variables = replicate(variables, mesh)
 
     def logits_fn(pc):
         logits, _ = model.apply(variables, pc, train=False)
@@ -198,13 +208,15 @@ def main(argv=None):
     success = 0
     total = 0
     for batch, valid in batch_iterator(ds, args.batch_size, pad_last=True):
-        pc = jnp.asarray(batch[0], jnp.float32)
+        pc_np = np.asarray(batch[0], np.float32)
         normal = None
-        if pc.shape[-1] > 3:
-            normal = pc[..., 3:6]
-            pc = pc[..., :3]
-        label = jnp.asarray(batch[1])
-        target = jnp.asarray(batch[2]) if len(batch) > 2 else label
+        if pc_np.shape[-1] > 3:
+            normal = shard_batch(pc_np[..., 3:6], mesh)
+            pc_np = pc_np[..., :3]
+        pc = shard_batch(pc_np, mesh)
+        label = shard_batch(np.asarray(batch[1]), mesh)
+        target = (shard_batch(np.asarray(batch[2]), mesh)
+                  if len(batch) > 2 else label)
         key, sub = jax.random.split(key)
         adv, succ = run(pc, label, target, normal, sub)
         adv, succ = np.asarray(adv), np.asarray(succ)

@@ -22,6 +22,7 @@ import numpy as np
 
 from if_defense_tpu.data import load_npz, save_npz
 from if_defense_tpu.defense import DUPNet, sor_defense_fixed, srs_defense
+from if_defense_tpu.parallel import best_data_mesh, replicate, shard_batch
 from if_defense_tpu.utils.params_io import load_params_npz
 
 DEFAULT_PUNET_WEIGHTS = os.path.join(
@@ -48,8 +49,12 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_defense_fn(name: str, args):
-    """Return (fn(batch_pc, key) -> np.ndarray, output_points)."""
+def build_defense_fn(name: str, args, mesh=None):
+    """Return (fn(batch_pc, key) -> np.ndarray, output_points).
+
+    With a mesh, batches are sharded on dp (params replicated) so each
+    defense runs SPMD over the devices.
+    """
     if name == "srs":
         fn = jax.jit(
             functools.partial(srs_defense, drop_num=args.srs_drop_num)
@@ -70,6 +75,8 @@ def build_defense_fn(name: str, args):
         dup = DUPNet(sor_k=args.sor_k, sor_alpha=args.sor_alpha,
                      npoint=args.npoint, up_ratio=4)
         variables = load_params_npz(args.punet_weights)
+        if mesh is not None:
+            variables = replicate(variables, mesh)
         call = jax.jit(lambda pc, key: dup(variables, pc, key))
         return lambda pc, key: np.asarray(call(pc, key)), args.npoint * 4
     raise ValueError(name)
@@ -78,7 +85,8 @@ def build_defense_fn(name: str, args):
 def defend_file(path: str, name: str, args) -> str:
     d = load_npz(path)
     test_pc = d.test_pc[..., :3].astype(np.float32)
-    run, _ = build_defense_fn(name, args)
+    mesh = best_data_mesh(args.batch_size)
+    run, _ = build_defense_fn(name, args, mesh)
 
     key = jax.random.key(args.seed)
     outs = []
@@ -90,7 +98,7 @@ def defend_file(path: str, name: str, args) -> str:
         if pad:
             batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)], 0)
         key, sub = jax.random.split(key)
-        out = run(batch, sub)
+        out = run(shard_batch(batch, mesh), sub)
         outs.append(out[: B - pad] if pad else out)
     def_pc = np.concatenate(outs, 0)
 

@@ -38,8 +38,21 @@ def adjust_num_points(num_points: int, data_path: str) -> int:
     return num_points
 
 
-def load_eval_model(checkpoint: str, model_name: str | None = None):
-    """Restore a checkpoint into eval variables; returns (model, vars, meta)."""
+def load_eval_model(checkpoint: str, model_name: str | None = None,
+                    num_points: int = 1024, registry: str | None = None):
+    """Restore a checkpoint into eval variables; returns (model, vars, meta).
+
+    `--checkpoint registry:<dataset>` resolves through the checkpoint
+    registry (the BEST_WEIGHTS path, `baselines/config.py:4-41`) using the
+    model name and point count, as `inference.py:152,184-187` did.
+    """
+    if checkpoint.startswith("registry:"):
+        from if_defense_tpu.utils.registry import lookup_checkpoint
+
+        if model_name is None:
+            raise ValueError("registry: checkpoints need --model")
+        checkpoint = lookup_checkpoint(
+            checkpoint[len("registry:"):], model_name, num_points, registry)
     raw = restore_checkpoint_raw(checkpoint)
     meta = raw.get("metadata", {})
     name = model_name or meta.get("model")
@@ -68,12 +81,15 @@ def parse_args(argv=None):
                    help="re-normalize clouds (reference default is off "
                         "for defended data)")
     p.add_argument("--metrics_out", default=None)
+    p.add_argument("--registry", default=None,
+                   help="registry JSON for registry:<dataset> checkpoints")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    model, variables, meta = load_eval_model(args.checkpoint, args.model)
+    model, variables, meta = load_eval_model(
+        args.checkpoint, args.model, args.num_points, args.registry)
     eval_step = make_eval_step(model)
     mesh = best_data_mesh(args.batch_size)
 

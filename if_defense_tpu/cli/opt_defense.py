@@ -24,6 +24,7 @@ from if_defense_tpu.defense.ifdefense import (
     onet_opt_defense,
 )
 from if_defense_tpu.implicit import ConvOccupancyNetwork, OccupancyNetwork
+from if_defense_tpu.parallel import best_data_mesh, replicate, shard_batch
 from if_defense_tpu.utils import MetricsWriter
 from if_defense_tpu.utils.params_io import load_params_npz
 
@@ -62,7 +63,10 @@ def parse_args(argv=None):
 
 
 def build_defend_fn(args):
-    variables = load_params_npz(args.weights)
+    """Build (defend_fn, mesh): the fused defense, data-parallel over the
+    device mesh (params replicated, cloud batches sharded on dp)."""
+    mesh = best_data_mesh(args.batch_size)
+    variables = replicate(load_params_npz(args.weights), mesh)
     common = dict(
         sample_npoint=args.sample_npoint,
         padding_scale=args.padding_scale,
@@ -79,13 +83,17 @@ def build_defend_fn(args):
     )
     if args.variant == "convonet":
         model = ConvOccupancyNetwork()
-        return convonet_opt_defense(model, variables, **common)
+        return convonet_opt_defense(model, variables, **common), mesh
     model = OccupancyNetwork()
-    return onet_opt_defense(model, variables, **common)
+    return onet_opt_defense(model, variables, **common), mesh
 
 
-def defend_clouds(defend, pc: np.ndarray, args) -> np.ndarray:
-    """Batch the jitted defense over all clouds (padding the tail)."""
+def defend_clouds(defend, mesh, pc: np.ndarray, args) -> np.ndarray:
+    """Batch the jitted defense over all clouds (padding the tail).
+
+    Each batch is sharded over the mesh's dp axis before the call, so the
+    201-step restoration runs SPMD across all devices.
+    """
     key = jax.random.key(args.seed)
     B = args.batch_size
     outs = []
@@ -95,7 +103,7 @@ def defend_clouds(defend, pc: np.ndarray, args) -> np.ndarray:
         if pad:
             batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)], 0)
         key, sub = jax.random.split(key)
-        out = np.asarray(defend(batch, sub))
+        out = np.asarray(defend(shard_batch(batch, mesh), sub))
         outs.append(out[: B - pad] if pad else out)
     return np.concatenate(outs, 0)
 
@@ -110,16 +118,17 @@ def get_save_name(path: str, variant: str) -> str:
     )
 
 
-def defend_file(path: str, defend, args) -> str:
+def defend_file(path: str, defend, mesh, args) -> str:
     d = load_npz(path)
     t0 = time.time()
     out = {"test_label": d.test_label}
     if d.target_label is not None:
         out["target_label"] = d.target_label
-    out["test_pc"] = defend_clouds(defend, d.test_pc[..., :3], args)
+    out["test_pc"] = defend_clouds(defend, mesh, d.test_pc[..., :3], args)
     n = len(out["test_pc"])
     if args.train:
-        out["train_pc"] = defend_clouds(defend, d.train_pc[..., :3], args)
+        out["train_pc"] = defend_clouds(
+            defend, mesh, d.train_pc[..., :3], args)
         out["train_label"] = d.train_label
         n += len(out["train_pc"])
     dt = time.time() - t0
@@ -136,7 +145,7 @@ def defend_file(path: str, defend, args) -> str:
 
 def main(argv=None):
     args = parse_args(argv)
-    defend = build_defend_fn(args)
+    defend, mesh = build_defend_fn(args)
     if os.path.isdir(args.data_root):
         files = [
             os.path.join(args.data_root, f)
@@ -145,7 +154,7 @@ def main(argv=None):
         ]
     else:
         files = [args.data_root]
-    return [defend_file(f, defend, args) for f in files]
+    return [defend_file(f, defend, mesh, args) for f in files]
 
 
 if __name__ == "__main__":

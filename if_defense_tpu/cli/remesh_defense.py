@@ -31,6 +31,7 @@ from if_defense_tpu.defense.sor import sor_defense
 from if_defense_tpu.implicit import ConvOccupancyNetwork, OccupancyNetwork
 from if_defense_tpu.implicit.generation import generate_meshes, sample_surface
 from if_defense_tpu.ops import normalize_unit_cube
+from if_defense_tpu.parallel import best_data_mesh, replicate, shard_batch
 from if_defense_tpu.utils import MetricsWriter
 from if_defense_tpu.utils.params_io import load_params_npz
 
@@ -68,10 +69,18 @@ def build_model(args):
     return model, variables, input_n
 
 
-def remesh_batch(model, variables, input_n, batch_pc, args, rng, key):
-    """Defend one [B, K, 3] batch; returns [B, sample_npoint, 3]."""
+def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
+                 mesh=None):
+    """Defend one [B, K, 3] batch; returns [B, sample_npoint, 3].
+
+    With a mesh, the batch is sharded on dp so the encoder pass and the
+    (dominant) batched occupancy evaluations run SPMD over all devices;
+    only the per-cloud isosurface + sampling stay host-side.
+    """
     B = batch_pc.shape[0]
     pc = jnp.asarray(batch_pc, jnp.float32)
+    if mesh is not None:
+        pc = shard_batch(np.asarray(batch_pc, np.float32), mesh)
     if not args.no_sor:
         pc, mask = sor_defense(pc, args.sor_k, args.sor_alpha)
     else:
@@ -96,14 +105,14 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key):
     proc_np = np.asarray(proc)
     mask_np = np.asarray(mask) > 0.5
     out = np.zeros((B, args.sample_npoint, 3), np.float32)
-    failures = 0
+    failed = np.zeros(B, bool)
     for b, (verts, tris) in enumerate(meshes):
         try:
             pts = sample_surface(verts, tris, args.sample_npoint, rng)
         except ValueError:
             # reconstruction failed: fall back to resampling the input
             # (remesh_defense.py:159-170)
-            failures += 1
+            failed[b] = True
             valid = proc_np[b][mask_np[b]]
             if len(valid):
                 idx = rng.integers(0, len(valid), args.sample_npoint)
@@ -114,21 +123,26 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key):
         pts = pts - pts.mean(0, keepdims=True)
         r = np.sqrt((pts**2).sum(-1)).max()
         out[b] = pts / max(r, 1e-12)
-    return out, failures
+    return out, failed
 
 
-def defend_clouds(model, variables, input_n, pc, args):
+def defend_clouds(model, variables, input_n, pc, args, mesh=None):
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
     outs, failures = [], 0
     B = args.batch_size
     for i in range(0, len(pc), B):
         batch = pc[i : i + B].astype(np.float32)
+        pad = B - len(batch)
+        if pad:  # keep the batch shape static (and mesh-divisible)
+            batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)], 0)
         key, sub = jax.random.split(key)
-        out, f = remesh_batch(
-            model, variables, input_n, batch, args, rng, sub)
+        out, failed = remesh_batch(
+            model, variables, input_n, batch, args, rng, sub, mesh)
+        if pad:
+            out, failed = out[: B - pad], failed[: B - pad]
         outs.append(out)
-        failures += f
+        failures += int(failed.sum())
     return np.concatenate(outs, 0), failures
 
 
@@ -143,6 +157,11 @@ def get_save_name(path: str, variant: str) -> str:
 def main(argv=None):
     args = parse_args(argv)
     model, variables, input_n = build_model(args)
+    # data-parallel over the device mesh: params replicated, cloud
+    # batches sharded on dp (the device-side encode + occupancy evals
+    # dominate; host isosurface extraction stays per-cloud)
+    mesh = best_data_mesh(args.batch_size)
+    variables = replicate(variables, mesh)
 
     files = (
         [os.path.join(args.data_root, f)
@@ -158,11 +177,11 @@ def main(argv=None):
         if d.target_label is not None:
             out["target_label"] = d.target_label
         out["test_pc"], fails = defend_clouds(
-            model, variables, input_n, d.test_pc[..., :3], args)
+            model, variables, input_n, d.test_pc[..., :3], args, mesh)
         n = len(out["test_pc"])
         if args.train:
             out["train_pc"], f2 = defend_clouds(
-                model, variables, input_n, d.train_pc[..., :3], args)
+                model, variables, input_n, d.train_pc[..., :3], args, mesh)
             out["train_label"] = d.train_label
             n += len(out["train_pc"])
             fails += f2

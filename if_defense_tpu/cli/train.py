@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--feature_transform", action="store_true")
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument("--output", default="runs/train")
+    p.add_argument("--registry", default=None,
+                   help="registry JSON to record the best checkpoint in "
+                        "(default weights/registry.json)")
     p.add_argument("--resume", default=None,
                    help="checkpoint path to resume from (params, optimizer "
                         "state, batch stats, epoch — the reference's "
@@ -163,7 +166,8 @@ def main(argv=None):
 
         register_checkpoint(
             os.path.basename(args.data).replace(".npz", ""), args.model,
-            os.path.join(args.output, "best"), args.num_points)
+            os.path.join(args.output, "best"), args.num_points,
+            path=args.registry)
     metrics.write(best_acc=best_acc, best_epoch=best_epoch)
     return best_acc
 

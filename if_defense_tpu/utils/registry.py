@@ -30,9 +30,10 @@ def _load(path: str) -> dict:
 
 def register_checkpoint(
     dataset: str, model: str, checkpoint: str,
-    num_points: int = 1024, path: str = DEFAULT_PATH,
+    num_points: int = 1024, path: str | None = None,
 ):
     """Record the best checkpoint for (dataset, num_points, model)."""
+    path = path or DEFAULT_PATH
     reg = _load(path)
     reg.setdefault(dataset, {}).setdefault(str(num_points), {})[model] = (
         os.path.abspath(checkpoint)
@@ -45,8 +46,9 @@ def register_checkpoint(
 
 def lookup_checkpoint(
     dataset: str, model: str, num_points: int = 1024,
-    path: str = DEFAULT_PATH,
+    path: str | None = None,
 ) -> str:
+    path = path or DEFAULT_PATH
     reg = _load(path)
     try:
         return reg[dataset][str(num_points)][model]

@@ -1,0 +1,136 @@
+"""End-to-end CLI chain on a tiny synthetic dataset (CPU mesh).
+
+Ports `tools/e2e_demo.py` to pytest at toy scale: train -> attack ->
+defend_npz -> opt_defense -> inference, all through the CLI mains, so a
+CLI-level regression (argument plumbing, sharding, npz/metrics writing)
+fails CI. Mirrors the reference's de-facto integration test — running
+`baselines/inference.py` on attack/defense outputs (`command.txt`).
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+N_POINTS = 128
+BATCH = 8
+
+
+@pytest.fixture(scope="module")
+def chain(tmp_path_factory):
+    """Run the full train->attack->defend->infer chain once; tests assert."""
+    out = tmp_path_factory.mktemp("e2e")
+    from tools.synthetic_dataset import make_classification_npz
+
+    data = make_classification_npz(
+        str(out / "synth.npz"), train_per_class=6, test_per_class=2,
+        num_points=N_POINTS, seed=0)
+
+    from if_defense_tpu.cli.train import main as train_main
+
+    run_dir = str(out / "pointnet")
+    registry = str(out / "registry.json")
+    best_acc = train_main([
+        "--data", data, "--model", "pointnet",
+        "--num_points", str(N_POINTS), "--epochs", "12",
+        "--batch_size", str(BATCH), "--eval_every", "4",
+        "--output", run_dir, "--registry", registry,
+    ])
+    ckpt = os.path.join(run_dir, "best")
+
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    adv_path, attack_rate = attack_main([
+        "--attack", "perturb", "--data", data, "--checkpoint", ckpt,
+        "--num_points", str(N_POINTS), "--batch_size", str(BATCH),
+        "--binary_step", "2", "--num_iter", "30",
+        "--output", str(out / "perturb-pointnet-synth.npz"),
+    ])
+
+    from if_defense_tpu.cli.defend_npz import main as defend_main
+
+    sor_path, = defend_main([
+        "--data_root", adv_path, "--defense", "sor",
+        "--batch_size", str(BATCH)])
+
+    from if_defense_tpu.cli.opt_defense import main as opt_main
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.utils.params_io import save_params_npz
+
+    conv = ConvOccupancyNetwork()
+    zeros = np.zeros((1, 32, 3), np.float32)
+    weights = str(out / "convonet_rand.npz")
+    save_params_npz(weights, conv.init(jax.random.key(0), zeros, zeros))
+    opt_path, = opt_main([
+        "--variant", "convonet", "--data_root", adv_path,
+        "--weights", weights, "--iterations", "3",
+        "--sample_npoint", "64", "--batch_size", str(BATCH),
+    ])
+
+    from if_defense_tpu.cli.inference import main as inf_main
+
+    def acc_of(path, ckpt_arg=ckpt, extra=()):
+        r = inf_main([
+            "--data", path, "--checkpoint", ckpt_arg,
+            "--num_points", str(N_POINTS), "--batch_size", str(BATCH),
+            "--mode", "target", *extra])
+        return r
+
+    return dict(
+        out=out, data=data, ckpt=ckpt, registry=registry,
+        best_acc=best_acc, adv_path=adv_path, attack_rate=attack_rate,
+        sor_path=sor_path, opt_path=opt_path, acc_of=acc_of,
+    )
+
+
+def test_training_produced_checkpoint_and_metrics(chain):
+    assert os.path.isdir(chain["ckpt"])
+    metrics = os.path.join(os.path.dirname(chain["ckpt"]), "metrics.jsonl")
+    lines = [json.loads(l) for l in open(metrics)]
+    assert any("test_acc" in l for l in lines)
+    assert chain["best_acc"] > 0.3  # 8 classes, tiny model: >> chance
+
+
+def test_registry_records_and_resolves(chain):
+    reg = json.load(open(chain["registry"]))
+    assert reg["synth"][str(N_POINTS)]["pointnet"] == os.path.abspath(
+        chain["ckpt"])
+    # inference accepts registry:<dataset> checkpoints
+    r = chain["acc_of"](
+        chain["data"], ckpt_arg="registry:synth",
+        extra=("--model", "pointnet", "--registry", chain["registry"]))
+    assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_attack_writes_npz_and_reduces_accuracy(chain):
+    assert os.path.exists(chain["adv_path"])
+    d = np.load(chain["adv_path"])
+    assert d["test_pc"].shape[1:] == (N_POINTS, 3)
+    assert set(d.files) >= {"test_pc", "test_label", "target_label"}
+    assert os.path.exists(chain["adv_path"] + ".metrics.jsonl")
+
+    clean = chain["acc_of"](chain["data"])
+    attacked = chain["acc_of"](chain["adv_path"])
+    assert chain["attack_rate"] > 0.2
+    assert attacked["accuracy"] < clean["accuracy"]
+    assert attacked["target_success"] >= chain["attack_rate"] - 1e-6
+
+
+def test_sor_defense_output(chain):
+    d = np.load(chain["sor_path"])
+    assert d["test_pc"].shape[1:] == (N_POINTS, 3)
+    r = chain["acc_of"](chain["sor_path"])
+    assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_opt_defense_output(chain):
+    d = np.load(chain["opt_path"])
+    assert d["test_pc"].shape[1:] == (64, 3)
+    assert np.isfinite(d["test_pc"]).all()
+    m = [json.loads(l) for l in open(chain["opt_path"] + ".metrics.jsonl")]
+    assert m[-1]["clouds"] == len(d["test_pc"])
+    # random implicit weights: only the mechanics are asserted
+    r = chain["acc_of"](chain["opt_path"])
+    assert 0.0 <= r["accuracy"] <= 1.0

@@ -1,0 +1,154 @@
+"""Per-phase profile of the ConvONet-Opt restoration loop on real TPU.
+
+Times the pieces of the 201-step loop separately (jitted in isolation so
+each number is a true device wall-clock through the axon tunnel):
+
+  - full fused defense (the bench workload)
+  - decode forward+backward alone (bilinear + decoder ResNets)
+  - repulsion forward+backward alone (kNN selection + gather + loss)
+  - kNN selection alone (approx_max_k path)
+  - encoder (once per batch)
+
+Usage: python tools/profile_defense.py [--batch 48] [--f32] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sync(x):
+    """Reliable device barrier through the axon tunnel (scalar fetch)."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_fn(fn, *args, warmup=2, reps=5, inner=1):
+    for _ in range(warmup):
+        out = fn(*args)
+    sync(jax.tree_util.tree_leaves(out)[0])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        sync(jax.tree_util.tree_leaves(out)[0])
+        times.append((time.perf_counter() - t0) / inner)
+    return min(times)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=48)
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--iters", type=int, default=20,
+                   help="loop iterations per timing rep")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from if_defense_tpu.defense.ifdefense import make_opt_defense
+    from if_defense_tpu.defense.repulsion import (
+        repulsion_knn,
+        repulsion_loss_with_idx,
+    )
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+
+    cd = None if args.f32 else "bfloat16"
+    B, K, Q = args.batch, 1024, 1024
+    model = ConvOccupancyNetwork()
+    rng = np.random.default_rng(0)
+    init_pc = jnp.zeros((2, 64, 3))
+    variables = model.init(jax.random.key(0), init_pc, init_pc)
+    pc = jnp.asarray(rng.uniform(-0.4, 0.4, (B, K, 3)), jnp.float32)
+    key = jax.random.key(1)
+
+    def encode(v, x):
+        return model.apply(v, x, method="encode_inputs")
+
+    def decode(v, p, c):
+        return model.apply(v, p, c, method="decode")
+
+    print(f"profile: B={B} compute_dtype={cd or 'float32'}")
+
+    # --- encoder (once per batch) ---
+    enc_j = jax.jit(encode)
+    sel = pc[:, :600]
+    t = bench_fn(enc_j, variables, sel)
+    print(f"encode (600 pts): {t*1e3:8.2f} ms / batch")
+    c = enc_j(variables, sel)
+
+    if cd is not None:
+        castf = lambda t_: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t_)
+        lv, lc = castf(variables), castf(c)
+    else:
+        lv, lc = variables, c
+
+    pts = pc[:, :Q]
+    if cd is not None:
+        pts_c = pts.astype(jnp.bfloat16)
+    else:
+        pts_c = pts
+
+    # --- decode fwd+bwd, N iters back to back ---
+    def dec_loss(p):
+        occ = decode(lv, p, lc)
+        return jnp.sum(occ.astype(jnp.float32) ** 2)
+
+    dec_g = jax.grad(dec_loss)
+
+    @jax.jit
+    def dec_loop(p0):
+        def body(p, _):
+            g = dec_g(p)
+            return p - 1e-4 * g.astype(p.dtype), None
+        out, _ = jax.lax.scan(body, p0, None, length=args.iters)
+        return out
+
+    t = bench_fn(dec_loop, pts_c, inner=args.iters)
+    print(f"decode fwd+bwd:   {t*1e3:8.2f} ms / iter")
+
+    # --- repulsion fwd+bwd (selection + gather + loss grad) ---
+    def rep_loss(p):
+        idx = repulsion_knn(p)
+        return jnp.sum(repulsion_loss_with_idx(p, idx).astype(jnp.float32))
+
+    rep_g = jax.grad(rep_loss)
+
+    @jax.jit
+    def rep_loop(p0):
+        def body(p, _):
+            g = rep_g(p)
+            return p - 1e-4 * g.astype(p.dtype), None
+        out, _ = jax.lax.scan(body, p0, None, length=args.iters)
+        return out
+
+    t = bench_fn(rep_loop, pts_c, inner=args.iters)
+    print(f"repuls fwd+bwd:   {t*1e3:8.2f} ms / iter")
+
+    # --- kNN selection alone ---
+    @jax.jit
+    def knn_loop(p0):
+        def body(s, _):
+            idx = repulsion_knn(p0 + s * 0)
+            return jnp.sum(idx).astype(jnp.float32) * 0, None
+        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.iters)
+        return out
+
+    t = bench_fn(knn_loop, pts_c, inner=args.iters)
+    print(f"knn select:       {t*1e3:8.2f} ms / iter")
+
+    # --- full fused defense ---
+    defend = make_opt_defense(
+        decode, encode, compute_dtype=cd, iterations=200)
+    t = bench_fn(lambda: defend(variables, pc, key), warmup=1, reps=3)
+    print(f"full defense:     {t:8.2f} s / batch "
+          f"({B / t:6.2f} clouds/s)")
