@@ -47,6 +47,11 @@ def main():
     parser.add_argument("--num_batches", type=int, default=8)
     parser.add_argument("--f32", action="store_true",
                         help="full-f32 loop (reference numerics)")
+    parser.add_argument("--interp_refresh", type=int, default=8,
+                        help="decoder corner-cache refresh window "
+                             "(1 = exact reference interpolation every "
+                             "step; 8 measured accuracy-neutral on the "
+                             "synthetic end-to-end benchmark)")
     args = parser.parse_args()
 
     import jax
@@ -75,6 +80,7 @@ def main():
         model, variables,
         iterations=iters, input_npoint=inp, sample_npoint=samp,
         compute_dtype=None if args.f32 else "bfloat16",
+        interp_refresh=1 if args.f32 else args.interp_refresh,
     )
 
     pc = jnp.asarray(rng.normal(size=(B, K, 3)) * 0.3, jnp.float32)

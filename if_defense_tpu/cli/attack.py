@@ -83,8 +83,13 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_attack(args, logits_fn):
-    """Return fn(batch) -> (adv_pc np, success np) for the chosen attack."""
+def build_attack(args, logits_fn, masked_logits_fn=None):
+    """Return fn(batch) -> (adv_pc np, success np) for the chosen attack.
+
+    `masked_logits_fn(pc, mask)` is the mask-aware victim forward used by
+    the fixed-shape Drop attack (one compile per (model, K) instead of
+    ~num_drop/k shrinking-shape compiles).
+    """
     name = args.attack
 
     if name == "perturb":
@@ -173,7 +178,7 @@ def build_attack(args, logits_fn):
     if name == "drop":
         def run(pc, label, target, normal, key):
             adv, still_correct = saliency_drop(
-                logits_fn, pc, label, args.num_drop)
+                masked_logits_fn, pc, label, args.num_drop)
             return adv, ~still_correct
         return run, "untarget"
 
@@ -196,7 +201,11 @@ def main(argv=None):
         logits, _ = model.apply(variables, pc, train=False)
         return logits
 
-    run, mode = build_attack(args, logits_fn)
+    def masked_logits_fn(pc, mask):
+        logits, _ = model.apply(variables, pc, train=False, mask=mask)
+        return logits
+
+    run, mode = build_attack(args, logits_fn, masked_logits_fn)
 
     if mode == "target_normal":
         ds = ModelNet40NormalAttack(args.data, args.num_points)

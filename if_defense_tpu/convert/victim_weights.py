@@ -2,9 +2,10 @@
 
 Lets users carry PyTorch-trained victims (the reference's BEST_WEIGHTS
 checkpoints, `baselines/model/*`) into the TPU framework unchanged.
-Covers PointNet (feature_transform off — the shipped training default) and
-DGCNN; both mappings are verified numerically against the torch reference
-by `tools/parity_victims.py`.
+Covers all four reference victims — PointNet (feature_transform off, the
+shipped training default), DGCNN, PointNet++ (SSG) and PointConv; every
+mapping is verified numerically against the torch reference by
+`tools/parity_victims.py` (logits <= 4e-5).
 
 Conventions: Linear/1x1-conv weight [out, in(,1,1)] -> Dense kernel
 [in, out]; BatchNorm affine+running stats -> flax params + batch_stats.

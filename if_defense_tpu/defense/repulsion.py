@@ -48,6 +48,32 @@ def repulsion_loss_with_idx(
     return jnp.mean(uniform, axis=(1, 2))               # [B]
 
 
+def repulsion_loss_auto(
+    pc: jax.Array,
+    nn_size: int = 5,
+    radius: float = 0.07,
+    h: float = 0.03,
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Per-example repulsion loss with automatic kernel dispatch, [B].
+
+    On TPU (at supported point counts) this routes to the fused Pallas
+    kernel (`ops/pallas_repulsion.py`): selection + loss + analytic
+    gradient in VMEM distance tiles, with EXACT k-nearest selection —
+    tighter than this module's default approx_max_k path. Elsewhere it
+    falls back to the XLA formulation.
+    """
+    from if_defense_tpu.ops.pallas_repulsion import (
+        fused_repulsion_loss,
+        fused_repulsion_supported,
+    )
+
+    if (jax.default_backend() == "tpu"
+            and fused_repulsion_supported(pc.shape[1])):
+        return fused_repulsion_loss(pc, nn_size, radius, h, eps)
+    return repulsion_loss(pc, nn_size, radius, h, eps)
+
+
 def repulsion_loss(
     pc: jax.Array,
     nn_size: int = 5,

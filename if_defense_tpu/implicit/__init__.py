@@ -11,17 +11,24 @@ Both expose the reference model API: `encode_inputs(pc) -> c` and
 86-112`, `ConvONet/src/conv_onet/models/__init__.py:52-77`).
 """
 
-from if_defense_tpu.implicit.onet import OccupancyNetwork, ResnetPointnet
+from if_defense_tpu.implicit.onet import (
+    LatentEncoder,
+    OccupancyNetwork,
+    ResnetPointnet,
+)
 from if_defense_tpu.implicit.convonet import (
     ConvOccupancyNetwork,
     LocalPoolPointnet,
     LocalDecoder,
+    PatchLocalPoolPointnet,
 )
 
 __all__ = [
+    "LatentEncoder",
     "OccupancyNetwork",
     "ResnetPointnet",
     "ConvOccupancyNetwork",
     "LocalPoolPointnet",
     "LocalDecoder",
+    "PatchLocalPoolPointnet",
 ]

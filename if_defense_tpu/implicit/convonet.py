@@ -21,7 +21,7 @@ from if_defense_tpu.implicit.layers import ResnetBlockFC
 from if_defense_tpu.implicit.unet2d import UNet2D
 from if_defense_tpu.implicit.unet3d import UNet3D
 from if_defense_tpu.ops import (
-    bilinear_plane_sample,
+    plane_sample,
     scatter_mean_2d,
 )
 from if_defense_tpu.ops.interp import trilinear_grid_sample
@@ -123,36 +123,159 @@ class LocalPoolPointnet(nn.Module):
         return fea
 
 
+def positional_encoding_sincos(p: jax.Array, n_freqs: int = 10) -> jax.Array:
+    """NeRF-style sin/cos encoding (`src/common.py:417-439`): [.., D] ->
+    [.., 2 * n_freqs * D] with frequencies pi * 2^l, inputs mapped to
+    [-1, 1] first."""
+    import numpy as np
+
+    freqs = jnp.asarray(np.pi * 2.0 ** np.linspace(0, n_freqs - 1, n_freqs),
+                        p.dtype)
+    q = 2.0 * p - 1.0
+    ang = q[..., None, :] * freqs[:, None]           # [.., L, D]
+    out = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-2)  # [.., L, 2, D]
+    return out.reshape(*p.shape[:-1], -1)
+
+
+def map2local(p: jax.Array, unit_size: float,
+              pos_encoding: str = "linear") -> jax.Array:
+    """Map coordinates into their local voxel system (`src/common.py:399-415`):
+    p mod unit_size, rescaled to [0, 1), optionally sin/cos encoded."""
+    q = jnp.remainder(p, unit_size) / unit_size
+    if pos_encoding == "sin_cos":
+        return positional_encoding_sincos(q)
+    return q
+
+
+class PatchLocalPoolPointnet(nn.Module):
+    """Patch/crop-training encoder variant
+    (`ConvONet/src/encoder/pointnet.py:171-329`).
+
+    Same local-pool ResNet stack as `LocalPoolPointnet`, but the plane/grid
+    cell indices are PRECOMPUTED by the caller (crop pipelines index points
+    in the local patch frame, which the encoder cannot derive from the raw
+    coordinates), and the point embedding optionally runs on
+    local-voxel coordinates (`local_coord`) with linear or sin/cos
+    positional encoding. scatter_type 'max'|'mean' selects the local
+    pooling reduction.
+    """
+
+    c_dim: int = 32
+    hidden_dim: int = 32
+    plane_resolution: int = 64
+    grid_resolution: int = 32
+    n_blocks: int = 5
+    unet: bool = True
+    unet_depth: int = 4
+    unet3d_depth: int = 3
+    scatter_type: str = "max"
+    local_coord: bool = False
+    pos_encoding: str = "linear"
+    unit_size: float = 0.1
+
+    @nn.compact
+    def __call__(self, p, index):
+        # p: [B, T, 3]; index: {plane_name: [B, T] int32 cell ids}
+        from if_defense_tpu.ops.scatter import (
+            pooled_mean_by_cell,
+        )
+
+        pool = (pooled_max_by_cell if self.scatter_type == "max"
+                else pooled_mean_by_cell)
+        pp = (map2local(p, self.unit_size, self.pos_encoding)
+              if self.local_coord else p)
+        net = nn.Dense(2 * self.hidden_dim, name="fc_pos")(pp)
+        net = ResnetBlockFC(self.hidden_dim, name="blocks_0")(net)
+        for i in range(1, self.n_blocks):
+            pooled = 0
+            for pl in index:
+                pooled = pooled + pool(net, index[pl])
+            net = jnp.concatenate([net, pooled], axis=-1)
+            net = ResnetBlockFC(self.hidden_dim, name=f"blocks_{i}")(net)
+
+        c = nn.Dense(self.c_dim, name="fc_c")(net)       # [B, T, c_dim]
+
+        unet = (
+            UNet2D(self.c_dim, self.unet_depth, self.c_dim, name="unet")
+            if self.unet and any(pl != "grid" for pl in index)
+            else None
+        )
+        R, Rg = self.plane_resolution, self.grid_resolution
+        fea = {}
+        for pl in index:
+            if pl == "grid":
+                vol = scatter_mean_2d(c, index[pl], Rg**3)
+                vol = vol.reshape(-1, Rg, Rg, Rg, self.c_dim)
+                if self.unet:
+                    vol = UNet3D(self.c_dim, self.unet3d_depth,
+                                 self.c_dim, name="unet3d")(vol)
+                fea[pl] = vol
+                continue
+            plane = scatter_mean_2d(c, index[pl], R * R)
+            plane = plane.reshape(-1, R, R, self.c_dim)
+            if unet is not None:
+                plane = unet(plane)
+            fea[pl] = plane
+        return fea
+
+
 class LocalDecoder(nn.Module):
     """Bilinear-plane-conditioned decoder
-    (`ConvONet/src/conv_onet/models/decoder.py:8-95`)."""
+    (`ConvONet/src/conv_onet/models/decoder.py:8-95`).
+
+    Split API: `sample_features` (the bilinear plane lookups) and `head`
+    (fc_p + conditioned ResNet blocks) — the defense loop's corner-cache
+    fast path re-lerps cached features and enters at `head`.
+    """
 
     c_dim: int = 32
     hidden_size: int = 32
     n_blocks: int = 5
     padding: float = 0.1
 
-    @nn.compact
-    def __call__(self, p, c_planes):
+    def setup(self):
+        self.fc_p = nn.Dense(self.hidden_size, name="fc_p")
+        self.fc_c = [
+            nn.Dense(self.hidden_size, name=f"fc_c_{i}")
+            for i in range(self.n_blocks)
+        ]
+        self.blocks = [
+            ResnetBlockFC(name=f"blocks_{i}") for i in range(self.n_blocks)
+        ]
+        self.fc_out = nn.Dense(1, name="fc_out")
+
+    def sample_features(self, p, c_planes, p_n=None):
         # p: [B, T, 3]; c_planes: {plane: [B, R, R, c_dim]} (and/or a
-        # 'grid' [B, Rg, Rg, Rg, c_dim] volume) -> logits [B, T]
+        # 'grid' [B, Rg, Rg, Rg, c_dim] volume) -> [B, T, c_dim].
+        # p_n: optional {plane: [B, T, 2|3]} precomputed normalised
+        # coordinates (the crop/sliding-window pipelines normalise in the
+        # local patch frame — `conv_onet/generation.py:350-358`); default
+        # is the unit-cube normalisation from p.
         c = 0
         for pl in c_planes:
             if pl == "grid":
                 # normalised (x, y, z); the volume is laid out [z, y, x]
                 # matching coordinate2index_3d's ix-fastest flattening
-                uvw = normalize_3d_coordinate(p, self.padding)
+                uvw = (p_n[pl] if p_n is not None
+                       else normalize_3d_coordinate(p, self.padding))
                 c = c + trilinear_grid_sample(c_planes[pl], uvw)
                 continue
-            uv = normalize_coordinate(p, pl, self.padding)   # [B, T, 2]
-            c = c + bilinear_plane_sample(c_planes[pl], uv)  # [B, T, c_dim]
+            uv = (p_n[pl] if p_n is not None
+                  else normalize_coordinate(p, pl, self.padding))
+            c = c + plane_sample(c_planes[pl], uv)           # [B, T, c_dim]
+        return c
 
-        net = nn.Dense(self.hidden_size, name="fc_p")(p)
+    def head(self, p, c):
+        # p: [B, T, 3]; c: [B, T, c_dim] sampled features -> logits [B, T]
+        net = self.fc_p(p)
         for i in range(self.n_blocks):
-            net = net + nn.Dense(self.hidden_size, name=f"fc_c_{i}")(c)
-            net = ResnetBlockFC(name=f"blocks_{i}")(net)
-        out = nn.Dense(1, name="fc_out")(nn.relu(net))
+            net = net + self.fc_c[i](c)
+            net = self.blocks[i](net)
+        out = self.fc_out(nn.relu(net))
         return out[..., 0]
+
+    def __call__(self, p, c_planes, p_n=None):
+        return self.head(p, self.sample_features(p, c_planes, p_n))
 
 
 class ConvOccupancyNetwork(nn.Module):
@@ -178,8 +301,12 @@ class ConvOccupancyNetwork(nn.Module):
     def encode_inputs(self, pc):
         return self.encoder(pc)
 
-    def decode(self, p, c):
-        return self.decoder(p, c)
+    def decode(self, p, c, p_n=None):
+        return self.decoder(p, c, p_n)
+
+    def decode_head(self, p, feat):
+        """Decoder head on presampled features (corner-cache fast path)."""
+        return self.decoder.head(p, feat)
 
     def __call__(self, pc, p):
         return self.decode(p, self.encode_inputs(pc))

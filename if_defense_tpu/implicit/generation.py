@@ -264,3 +264,181 @@ def sample_surface(
         v0[choice] + u * (v1[choice] - v0[choice])
         + v * (v2[choice] - v0[choice])
     ).astype(np.float32)
+
+
+def estimate_normals(
+    decode_fn: Callable,
+    variables,
+    c,
+    vertices: np.ndarray,
+    chunk: int = 8192,
+) -> np.ndarray:
+    """Vertex normals from the decoder gradient
+    (`ONet/im2mesh/onet/generation.py:223-249`): n = -∇_v decode(v),
+    normalised. One cloud per call (c is the [1, ...]-batched latent).
+
+    Args:
+        vertices: [V, 3] float32.
+    Returns:
+        [V, 3] float32 unit normals.
+    """
+    V = len(vertices)
+    pad = (-V) % chunk
+    pts = np.pad(vertices.astype(np.float32), ((0, pad), (0, 0)))
+
+    @jax.jit
+    def grad_chunk(v, p):
+        g = jax.grad(lambda q: jnp.sum(decode_fn(v, q[None], c)))(p)
+        return -g
+
+    out = []
+    for i in range(0, len(pts), chunk):
+        out.append(np.asarray(grad_chunk(variables, jnp.asarray(
+            pts[i : i + chunk]))))
+    n = np.concatenate(out, 0)[:V]
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-10)
+
+
+def refine_mesh(
+    decode_fn: Callable,
+    variables,
+    c,
+    verts: np.ndarray,
+    tris: np.ndarray,
+    *,
+    steps: int = 30,
+    threshold: float = 0.2,
+    lr: float = 1e-4,
+    normal_weight: float = 0.01,
+    seed: int = 0,
+):
+    """Gradient-based mesh refinement
+    (`ONet/im2mesh/onet/generation.py:251-314`, off in shipped configs).
+
+    Optimises vertex positions with RMSprop so that Dirichlet-sampled
+    face points sit on the `threshold` level set and face normals align
+    with the (negated) decoder gradient. TPU-first: the whole
+    `steps`-iteration loop is one jitted `lax.scan`; Dirichlet samples
+    come from the JAX PRNG instead of per-step host numpy.
+
+    Returns:
+        refined vertices [V, 3] float32.
+    """
+    import optax
+
+    v0 = jnp.asarray(verts, jnp.float32)
+    faces = jnp.asarray(tris, jnp.int32)
+    opt = optax.rmsprop(lr)
+
+    def loss_fn(v, key):
+        fv = v[faces]                                    # [F, 3, 3]
+        eps = jax.random.dirichlet(key, jnp.full((3,), 0.5), (len(tris),))
+        face_point = jnp.sum(fv * eps[:, :, None], axis=1)
+        e1 = fv[:, 1] - fv[:, 0]
+        e2 = fv[:, 2] - fv[:, 1]
+        face_normal = jnp.cross(e1, e2)
+        face_normal = face_normal / (
+            jnp.linalg.norm(face_normal, axis=1, keepdims=True) + 1e-10)
+
+        def occ_sum(q):
+            return jnp.sum(jax.nn.sigmoid(decode_fn(variables, q[None], c)))
+
+        face_value, vjp = jax.value_and_grad(occ_sum)(face_point)
+        normal_target = -vjp
+        normal_target = normal_target / (
+            jnp.linalg.norm(normal_target, axis=1, keepdims=True) + 1e-10)
+        fv_sig = jax.nn.sigmoid(decode_fn(variables, face_point[None], c))[0]
+        loss_target = jnp.mean((fv_sig - threshold) ** 2)
+        loss_normal = jnp.mean(
+            jnp.sum((face_normal - normal_target) ** 2, axis=1))
+        return loss_target + normal_weight * loss_normal
+
+    @jax.jit
+    def run(v, key):
+        def step(carry, k):
+            v, opt_state = carry
+            grads = jax.grad(loss_fn)(v, k)
+            updates, opt_state = opt.update(grads, opt_state, v)
+            return (optax.apply_updates(v, updates), opt_state), None
+
+        keys = jax.random.split(key, steps)
+        (v, _), _ = jax.lax.scan(step, (v, opt.init(v)), keys)
+        return v
+
+    return np.asarray(run(v0, jax.random.key(seed)))
+
+
+def generate_mesh_sliding(
+    encode_crop_fn: Callable,
+    decode_crop_fn: Callable,
+    variables,
+    pc: np.ndarray,
+    *,
+    query_crop_size: float = 1.0,
+    input_crop_size: float = 1.25,
+    resolution0: int = 32,
+    upsample: int = 4,
+    threshold: float = 0.2,
+    chunk: int = 65536,
+):
+    """Sliding-window mesh generation for scene-scale inputs
+    (`ConvONet/src/conv_onet/generation.py:148-234`, crop configs only).
+
+    Tiles the scene bounding box into query crops (each encoded from a
+    larger input crop), evaluates a dense fine occupancy grid per crop,
+    stitches the crops into one value grid and extracts a single mesh.
+
+    Args:
+        encode_crop_fn: (variables, pc [1, T, 3], input_vol [2, 3]) -> c.
+        decode_crop_fn: (variables, p [1, Q, 3], c, input_vol) -> logits.
+        pc: [T, 3] scene point cloud (single scene).
+    Returns:
+        (vertices [V, 3] world coords, triangles [F, 3]).
+    """
+    iso = logit_threshold(threshold)
+    lb = pc.min(0) - 0.01
+    ub = pc.max(0) + 0.01
+    n_axis = np.maximum(
+        np.ceil((ub - lb) / query_crop_size).astype(int), 1)
+    r = resolution0 * upsample
+
+    value_grid = np.empty(
+        (n_axis[0] * r, n_axis[1] * r, n_axis[2] * r), np.float32)
+    axes = [np.arange(n) for n in n_axis]
+    for ix in axes[0]:
+        for iy in axes[1]:
+            for iz in axes[2]:
+                lo = lb + np.array([ix, iy, iz]) * query_crop_size
+                hi = lo + query_crop_size
+                center = (lo + hi) / 2
+                in_lo = center - input_crop_size / 2
+                in_hi = center + input_crop_size / 2
+                input_vol = np.stack([in_lo, in_hi]).astype(np.float32)
+
+                c = encode_crop_fn(
+                    variables, pc[None].astype(np.float32), input_vol)
+                g = (np.arange(r) + 0.5) / r
+                X, Y, Z = np.meshgrid(
+                    lo[0] + g * query_crop_size,
+                    lo[1] + g * query_crop_size,
+                    lo[2] + g * query_crop_size, indexing="ij")
+                q = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+                vals = []
+                for i in range(0, len(q), chunk):
+                    qa = q[i : i + chunk]
+                    pad = (-len(qa)) % chunk
+                    if pad:
+                        qa = np.pad(qa, ((0, pad), (0, 0)))
+                    v = np.asarray(decode_crop_fn(
+                        variables, jnp.asarray(qa[None]), c, input_vol))[0]
+                    vals.append(v[: chunk - pad] if pad else v)
+                value_grid[
+                    ix * r : (ix + 1) * r,
+                    iy * r : (iy + 1) * r,
+                    iz * r : (iz + 1) * r,
+                ] = np.concatenate(vals).reshape(r, r, r)
+
+    vol = np.pad(value_grid, 1, constant_values=-1e6)
+    verts, tris = marching_isosurface(vol.astype(np.float32), iso)
+    verts = (verts - 1.0) / r * query_crop_size + lb
+    return verts.astype(np.float32), tris

@@ -37,14 +37,21 @@ class ResnetPointnet(nn.Module):
 
 
 class DecoderCBatchNorm(nn.Module):
-    """CBN decoder (`ONet/im2mesh/onet/models/decoder.py:77-131`)."""
+    """CBN decoder (`ONet/im2mesh/onet/models/decoder.py:77-131`).
+
+    `z_dim > 0` adds the reference's fc_z conditioning on the (vestigial
+    in the shipped config) VAE latent.
+    """
 
     hidden_size: int = 256
+    z_dim: int = 0
 
     @nn.compact
-    def __call__(self, p, c, train: bool = False):
+    def __call__(self, p, c, z=None, train: bool = False):
         # p: [B, T, 3]; c: [B, c_dim] -> logits [B, T]
         net = nn.Dense(self.hidden_size, name="fc_p")(p)
+        if self.z_dim and z is not None:
+            net = net + nn.Dense(self.hidden_size, name="fc_z")(z)[:, None]
         for i in range(5):
             net = CResnetBlockConv1d(name=f"block{i}")(net, c, train)
         net = CBatchNorm(self.hidden_size, name="bn")(net, c, train)
@@ -75,25 +82,49 @@ class DecoderFC(nn.Module):
 
 
 class LatentEncoder(nn.Module):
-    """VAE latent encoder q(z | pc, occ) —
-    `ONet/im2mesh/onet/models/encoder_latent.py`. Vestigial in the defense
-    path (z_dim 0 in the shipped config) but part of the ONet API; used
-    only when training the generative variant."""
+    """VAE posterior encoder q(z | points, occ[, c]) —
+    `ONet/im2mesh/onet/models/encoder_latent.py:12-76`. Vestigial in the
+    defense path (z_dim 0 in the shipped config) but part of the ONet API;
+    used when training the generative variant.
+
+    Architecture parity: fc_0 embeds the occupancies, fc_pos the
+    coordinates (summed, optionally + fc_c(c)); two pool-concat FC stages
+    (fc_1 128->128, fc_2/fc_3 256->128); final pool -> (mean, logstd).
+    `leaky=True` switches relu/max-pool to leaky-relu(0.2)/mean-pool like
+    the reference's `leaky` flag.
+    """
 
     z_dim: int = 64
+    c_dim: int = 0
     hidden_dim: int = 128
+    leaky: bool = False
 
     @nn.compact
-    def __call__(self, p, occ):
-        # p: [B, T, 3]; occ: [B, T]
-        net = jnp.concatenate([p, occ[..., None]], axis=-1)
-        net = nn.Dense(self.hidden_dim, name="fc_pos")(net)
-        for i in range(3):
-            pooled = jnp.max(net, axis=1, keepdims=True)
-            pooled = jnp.broadcast_to(pooled, net.shape)
-            net = jnp.concatenate([net, pooled], axis=-1)
-            net = nn.Dense(self.hidden_dim, name=f"fc_{i}")(nn.relu(net))
-        net = jnp.max(net, axis=1)
+    def __call__(self, p, occ, c=None):
+        # p: [B, T, 3]; occ: [B, T]; c: optional [B, c_dim]
+        h = self.hidden_dim
+        act = ((lambda x: nn.leaky_relu(x, 0.2)) if self.leaky
+               else nn.relu)
+        pool = ((lambda x: jnp.mean(x, axis=1, keepdims=True))
+                if self.leaky
+                else (lambda x: jnp.max(x, axis=1, keepdims=True)))
+
+        net = nn.Dense(h, name="fc_0")(occ[..., None])
+        net = net + nn.Dense(h, name="fc_pos")(p)
+        if self.c_dim and c is not None:
+            net = net + nn.Dense(h, name="fc_c")(c)[:, None]
+
+        net = nn.Dense(h, name="fc_1")(act(net))
+        pooled = jnp.broadcast_to(pool(net), net.shape)
+        net = jnp.concatenate([net, pooled], axis=-1)
+
+        net = nn.Dense(h, name="fc_2")(act(net))
+        pooled = jnp.broadcast_to(pool(net), net.shape)
+        net = jnp.concatenate([net, pooled], axis=-1)
+
+        net = nn.Dense(h, name="fc_3")(act(net))
+        net = net.mean(axis=1) if self.leaky else net.max(axis=1)
+
         mean = nn.Dense(self.z_dim, name="fc_mean")(net)
         logstd = nn.Dense(self.z_dim, name="fc_logstd")(net)
         return mean, logstd
@@ -106,26 +137,59 @@ DECODER_REGISTRY = {
 
 
 class OccupancyNetwork(nn.Module):
-    """ONet with the reference API: encode_inputs / decode.
+    """ONet with the reference API: encode_inputs / decode / infer_z /
+    get_z_from_prior.
 
     `decode` returns occupancy logits (the reference wraps them in a
-    Bernoulli distribution; only `.logits` is consumed downstream).
+    Bernoulli distribution; only `.logits` is consumed downstream). The
+    shipped defense config has z_dim 0 — `get_z_from_prior` then returns
+    an empty latent exactly like
+    `ONet/im2mesh/onet/models/__init__.py:132-145`; set `z_dim > 0` for
+    the generative variant (posterior via `infer_z`, reparameterised
+    samples via `sample_z`).
     """
 
     c_dim: int = 512
     hidden_dim: int = 512
     decoder_hidden: int = 256
+    z_dim: int = 0
 
     def setup(self):
         self.encoder = ResnetPointnet(self.c_dim, self.hidden_dim)
-        self.decoder = DecoderCBatchNorm(self.decoder_hidden)
+        self.decoder = DecoderCBatchNorm(self.decoder_hidden, self.z_dim)
+        if self.z_dim:
+            self.encoder_latent = LatentEncoder(self.z_dim, self.c_dim)
 
     def encode_inputs(self, pc):
         return self.encoder(pc)
 
-    def decode(self, p, c, train: bool = False):
-        return self.decoder(p, c, train)
+    def decode(self, p, c, z=None, train: bool = False):
+        return self.decoder(p, c, z, train)
+
+    def infer_z(self, p, occ, c):
+        """Posterior (mean, logstd) of q(z | p, occ, c)."""
+        if not self.z_dim:
+            B = p.shape[0]
+            return jnp.zeros((B, 0)), jnp.zeros((B, 0))
+        return self.encoder_latent(p, occ, c)
+
+    def get_z_from_prior(self, batch: int, key=None, sample: bool = True):
+        """Prior latent: zeros (z_dim 0 / mean) or a N(0, I) sample."""
+        if not self.z_dim or not sample or key is None:
+            return jnp.zeros((batch, self.z_dim))
+        return jax.random.normal(key, (batch, self.z_dim))
 
     def __call__(self, pc, p, train: bool = False):
         c = self.encode_inputs(pc)
-        return self.decode(p, c, train)
+        return self.decode(p, c, train=train)
+
+
+def sample_z(mean, logstd, key):
+    """Reparameterised posterior sample z = mean + exp(logstd) * eps."""
+    return mean + jnp.exp(logstd) * jax.random.normal(key, mean.shape)
+
+
+def kl_normal(mean, logstd):
+    """KL(q(z) || N(0, I)) per example, [B] — the ONet ELBO term."""
+    var = jnp.exp(2.0 * logstd)
+    return 0.5 * jnp.sum(var + mean**2 - 1.0 - 2.0 * logstd, axis=-1)

@@ -61,6 +61,27 @@ class DenseBN(nn.Module):
         return x
 
 
-def max_pool_points(x: jnp.ndarray) -> jnp.ndarray:
-    """Global max pool over the point axis: [B, N, C] -> [B, C]."""
-    return jnp.max(x, axis=1)
+def max_pool_points(x: jnp.ndarray, mask: jnp.ndarray | None = None
+                    ) -> jnp.ndarray:
+    """Global max pool over the point axis: [B, N, C] -> [B, C].
+
+    With a [B, N] validity mask, masked points are excluded — identical
+    (in eval mode, where no op mixes points) to pooling the compacted
+    valid subset. This is what makes fixed-shape masked victim forwards
+    exact (the Saliency-Drop attack, SOR's ragged outputs).
+    """
+    if mask is None:
+        return jnp.max(x, axis=1)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    return jnp.max(jnp.where(mask[..., None] > 0, x, neg), axis=1)
+
+
+def mean_pool_points(x: jnp.ndarray, mask: jnp.ndarray | None = None
+                     ) -> jnp.ndarray:
+    """Global mean pool over the point axis: [B, N, C] -> [B, C],
+    counting only valid points when a [B, N] mask is given."""
+    if mask is None:
+        return jnp.mean(x, axis=1)
+    m = (mask > 0).astype(x.dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return jnp.sum(x * m, axis=1) / cnt

@@ -16,19 +16,27 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from if_defense_tpu.models.common import DenseBN, PointwiseMLP
+from if_defense_tpu.models.common import (
+    DenseBN,
+    PointwiseMLP,
+    max_pool_points,
+    mean_pool_points,
+)
 from if_defense_tpu.ops import index_points, knn_points
 
 
-def get_graph_feature(x: jnp.ndarray, k: int) -> jnp.ndarray:
+def get_graph_feature(x: jnp.ndarray, k: int, mask=None) -> jnp.ndarray:
     """EdgeConv features [feat_j - feat_i, feat_i] over the kNN graph.
 
     Args:
         x: [B, N, C] point features (graph built on these features).
+        mask: optional [B, N] validity — masked points are never chosen
+            as neighbours (their own rows are garbage but masked out of
+            the global pools downstream).
     Returns:
         [B, N, k, 2C]
     """
-    idx = knn_points(k, x)                       # [B, N, k] (includes self)
+    idx = knn_points(k, x, candidate_mask=mask)  # [B, N, k] (includes self)
     neigh = index_points(x, idx)                 # [B, N, k, C]
     center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
     return jnp.concatenate([neigh - center, center], axis=-1)
@@ -43,11 +51,11 @@ class DGCNN(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, train: bool = False):
+    def __call__(self, xyz, train: bool = False, mask=None):
         slope = 0.2
 
         def edge_conv(feat, out_ch):
-            g = get_graph_feature(feat, self.k)              # [B, N, k, 2C]
+            g = get_graph_feature(feat, self.k, mask)        # [B, N, k, 2C]
             g = PointwiseMLP(
                 [out_ch],
                 use_bn=self.use_bn,
@@ -69,8 +77,8 @@ class DGCNN(nn.Module):
             use_bias=False,
         )(x, train)                                           # [B, N, 1024]
 
-        xmax = jnp.max(x, axis=1)
-        xavg = jnp.mean(x, axis=1)
+        xmax = max_pool_points(x, mask)
+        xavg = mean_pool_points(x, mask)
         x = jnp.concatenate([xmax, xavg], axis=-1)           # [B, 2048]
 
         x = nn.leaky_relu(

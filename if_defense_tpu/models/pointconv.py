@@ -26,11 +26,20 @@ from if_defense_tpu.ops import (
 )
 
 
-def compute_density(xyz: jnp.ndarray, bandwidth: float) -> jnp.ndarray:
-    """Per-point Gaussian-KDE density over the whole cloud, [B, N]."""
+def compute_density(xyz: jnp.ndarray, bandwidth: float,
+                    mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-point Gaussian-KDE density over the whole cloud, [B, N].
+
+    With a [B, N] validity mask the KDE runs over (and averages by) the
+    valid points only — identical to the compacted cloud's density.
+    """
     sq = square_distance(xyz, xyz)
     g = jnp.exp(-sq / (2.0 * bandwidth * bandwidth)) / (2.5 * bandwidth)
-    return jnp.mean(g, axis=-1)
+    if mask is None:
+        return jnp.mean(g, axis=-1)
+    m = (mask > 0).astype(g.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
+    return jnp.sum(g * m[:, None, :], axis=-1) / cnt
 
 
 class DensityNet(nn.Module):
@@ -70,10 +79,13 @@ class PointConvSetAbstraction(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False):
+    def __call__(self, xyz, points, train: bool = False, mask=None):
         B, N, _ = xyz.shape
-        density = compute_density(xyz, self.bandwidth)        # [B, N]
+        density = compute_density(xyz, self.bandwidth, mask)  # [B, N]
         density_scale = DensityNet(use_bn=self.use_bn)(density, train)
+        if mask is not None:
+            # masked points contribute zero to the (sum) aggregation
+            density_scale = density_scale * (mask > 0)[..., None]
 
         if self.group_all:
             new_xyz = jnp.zeros((B, 1, 3), xyz.dtype)
@@ -84,9 +96,10 @@ class PointConvSetAbstraction(nn.Module):
                 feat = jnp.concatenate([grouped_xyz, points[:, None]], -1)
             grouped_density = density_scale[:, None]          # [B, 1, N, 1]
         else:
-            fps_idx = farthest_point_sample(xyz, self.npoint)
+            fps_idx = farthest_point_sample(xyz, self.npoint, mask=mask)
             new_xyz = index_points(xyz, fps_idx)
-            idx = knn_points(self.nsample, xyz, new_xyz)      # [B, S, k]
+            idx = knn_points(self.nsample, xyz, new_xyz,
+                             candidate_mask=mask)             # [B, S, k]
             grouped_xyz = index_points(xyz, idx)
             grouped_norm = grouped_xyz - new_xyz[:, :, None, :]
             feat = grouped_norm
@@ -120,10 +133,12 @@ class PointConvDensityClsSsg(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, train: bool = False):
+    def __call__(self, xyz, train: bool = False, mask=None):
+        # only level 1 sees the mask: its FPS/kNN select exclusively valid
+        # points, so l1_xyz onward is an all-valid cloud
         l1_xyz, l1 = PointConvSetAbstraction(
             512, 32, (64, 64, 128), 0.1, use_bn=self.use_bn
-        )(xyz, None, train)
+        )(xyz, None, train, mask)
         l2_xyz, l2 = PointConvSetAbstraction(
             128, 64, (128, 128, 256), 0.2, use_bn=self.use_bn
         )(l1_xyz, l1, train)

@@ -22,10 +22,11 @@ class STN(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: [B, N, k]
+    def __call__(self, x, train: bool = False, mask=None):
+        # x: [B, N, k]; mask: optional [B, N] validity (masked points are
+        # excluded from every pool — exact vs a compacted cloud in eval)
         h = PointwiseMLP([64, 128, 1024], use_bn=self.use_bn)(x, train)
-        h = max_pool_points(h)                                    # [B, 1024]
+        h = max_pool_points(h, mask)                              # [B, 1024]
         h = nn.relu(DenseBN(512, use_bn=self.use_bn)(h, train))
         h = nn.relu(DenseBN(256, use_bn=self.use_bn)(h, train))
         mat = nn.Dense(
@@ -43,19 +44,19 @@ class PointNetFeat(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, train: bool = False):
-        trans = STN(k=3, use_bn=self.use_bn)(xyz, train)          # [B, 3, 3]
+    def __call__(self, xyz, train: bool = False, mask=None):
+        trans = STN(k=3, use_bn=self.use_bn)(xyz, train, mask)    # [B, 3, 3]
         x = jnp.einsum("bnc,bcd->bnd", xyz, trans)
         x = PointwiseMLP([64], use_bn=self.use_bn)(x, train)
 
         trans_feat = None
         if self.feature_transform:
-            trans_feat = STN(k=64, use_bn=self.use_bn)(x, train)
+            trans_feat = STN(k=64, use_bn=self.use_bn)(x, train, mask)
             x = jnp.einsum("bnc,bcd->bnd", x, trans_feat)
 
         x = PointwiseMLP([128], use_bn=self.use_bn)(x, train)
         x = PointwiseMLP([1024], use_bn=self.use_bn, relu_last=False)(x, train)
-        return max_pool_points(x), trans, trans_feat              # [B, 1024]
+        return max_pool_points(x, mask), trans, trans_feat        # [B, 1024]
 
 
 class PointNetCls(nn.Module):
@@ -66,10 +67,10 @@ class PointNetCls(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, train: bool = False):
+    def __call__(self, xyz, train: bool = False, mask=None):
         feat, trans, trans_feat = PointNetFeat(
             feature_transform=self.feature_transform, use_bn=self.use_bn
-        )(xyz, train)
+        )(xyz, train, mask)
         x = nn.relu(DenseBN(512, use_bn=self.use_bn)(feat, train))
         x = nn.Dense(256)(x)
         x = nn.Dropout(0.3, deterministic=not train)(x)

@@ -23,17 +23,21 @@ from if_defense_tpu.ops import (
 )
 
 
-def sample_and_group(npoint, radius, nsample, xyz, points):
+def sample_and_group(npoint, radius, nsample, xyz, points, mask=None):
     """FPS centres + ball-query groups with centred coordinates.
 
     Args:
         xyz: [B, N, 3]; points: [B, N, D] or None.
+        mask: optional [B, N] validity — masked points are neither FPS
+            centres nor ball-query members, so every produced group
+            contains only valid points (each centre is its own in-radius
+            hit) and downstream levels need no masking.
     Returns:
         new_xyz [B, npoint, 3], grouped [B, npoint, nsample, 3(+D)]
     """
-    fps_idx = farthest_point_sample(xyz, npoint)
+    fps_idx = farthest_point_sample(xyz, npoint, mask=mask)
     new_xyz = index_points(xyz, fps_idx)
-    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    idx = query_ball_point(radius, nsample, xyz, new_xyz, mask=mask)
     grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
     if points is not None:
         grouped = jnp.concatenate([grouped_xyz, index_points(points, idx)], -1)
@@ -63,12 +67,12 @@ class SetAbstraction(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, points, train: bool = False):
+    def __call__(self, xyz, points, train: bool = False, mask=None):
         if self.group_all:
             new_xyz, grouped = sample_and_group_all(xyz, points)
         else:
             new_xyz, grouped = sample_and_group(
-                self.npoint, self.radius, self.nsample, xyz, points
+                self.npoint, self.radius, self.nsample, xyz, points, mask
             )
         feat = PointwiseMLP(list(self.mlp), use_bn=self.use_bn)(grouped, train)
         return new_xyz, jnp.max(feat, axis=2)     # pool over neighbourhood
@@ -141,9 +145,12 @@ class PointNet2ClsSsg(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, train: bool = False):
+    def __call__(self, xyz, train: bool = False, mask=None):
+        # only level 1 sees the mask: its FPS/ball-query select exclusively
+        # valid points, so l1_xyz onward is an all-valid cloud
         l1_xyz, l1 = SetAbstraction(512, 0.2, 32, (64, 64, 128),
-                                    use_bn=self.use_bn)(xyz, None, train)
+                                    use_bn=self.use_bn)(xyz, None, train,
+                                                        mask)
         l2_xyz, l2 = SetAbstraction(128, 0.4, 64, (128, 128, 256),
                                     use_bn=self.use_bn)(l1_xyz, l1, train)
         _, l3 = SetAbstraction(None, None, None, (256, 512, 1024),

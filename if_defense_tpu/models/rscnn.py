@@ -44,7 +44,7 @@ class RelationConv(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, feats, train: bool = False):
+    def __call__(self, xyz, feats, train: bool = False, mask=None):
         B, N, _ = xyz.shape
         if self.group_all:
             new_xyz = jnp.zeros((B, 1, 3), xyz.dtype)
@@ -53,9 +53,10 @@ class RelationConv(nn.Module):
                 feats[:, None] if feats is not None else grouped_xyz
             )
         else:
-            fps_idx = farthest_point_sample(xyz, self.npoint)
+            fps_idx = farthest_point_sample(xyz, self.npoint, mask=mask)
             new_xyz = index_points(xyz, fps_idx)
-            idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+            idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz,
+                                   mask=mask)
             grouped_xyz = index_points(xyz, idx)
             grouped_feats = (
                 index_points(feats, idx) if feats is not None
@@ -88,9 +89,12 @@ class RSCNN(nn.Module):
     use_bn: bool = True
 
     @nn.compact
-    def __call__(self, xyz, train: bool = False):
+    def __call__(self, xyz, train: bool = False, mask=None):
+        # only level 1 sees the mask: its FPS/ball-query select exclusively
+        # valid points, so l1_xyz onward is an all-valid cloud
         l1_xyz, l1 = RelationConv(512, 0.23, 48, 128,
-                                  use_bn=self.use_bn)(xyz, None, train)
+                                  use_bn=self.use_bn)(xyz, None, train,
+                                                      mask)
         l2_xyz, l2 = RelationConv(128, 0.32, 64, 512,
                                   use_bn=self.use_bn)(l1_xyz, l1, train)
         _, l3 = RelationConv(None, None, None, 1024, group_all=True,

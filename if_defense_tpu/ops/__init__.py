@@ -26,6 +26,7 @@ from if_defense_tpu.ops.scatter import (
 )
 from if_defense_tpu.ops.interp import (
     bilinear_plane_sample,
+    plane_sample,
 )
 from if_defense_tpu.ops.normalize import (
     normalize_unit_sphere,
@@ -47,6 +48,7 @@ __all__ = [
     "scatter_mean_2d",
     "scatter_max_2d",
     "bilinear_plane_sample",
+    "plane_sample",
     "normalize_unit_sphere",
     "normalize_unit_cube",
     "compute_iou",

@@ -64,6 +64,7 @@ def knn_points(
     exclude_self: bool = False,
     return_dist: bool = False,
     method: str = "sort",
+    candidate_mask: jax.Array | None = None,
 ):
     """k-nearest-neighbour indices of `query` points within `xyz`.
 
@@ -83,12 +84,16 @@ def knn_points(
             masked out of the distance matrix instead of top-(k+1) slicing
             (approx selection may not rank the self-hit first).
         return_dist: also return the squared distances to the neighbours.
+        candidate_mask: optional [B, N] validity mask — masked points are
+            never selected as neighbours (fixed-shape masked forwards).
     Returns:
         idx [B, Q, k] (int32), optionally (idx, sqdist [B, Q, k]).
     """
     if query is None:
         query = xyz
     d = square_distance(query, xyz)                          # [B, Q, N]
+    if candidate_mask is not None:
+        d = jnp.where(candidate_mask[:, None, :] > 0, d, jnp.inf)
     if method == "approx":
         if exclude_self:
             n = xyz.shape[1]
@@ -153,7 +158,8 @@ def _fps_body(xyz, i, state):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def farthest_point_sample(
-    xyz: jax.Array, npoint: int, start_idx: jax.Array | None = None
+    xyz: jax.Array, npoint: int, start_idx: jax.Array | None = None,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Iterative farthest point sampling.
 
@@ -168,19 +174,29 @@ def farthest_point_sample(
         npoint: number of points to select (static).
         start_idx: [B] int32 initial point per cloud; defaults to 0
             (the reference uses a random start; pass one for parity).
+        mask: optional [B, N] validity mask — masked points are never
+            selected (selection repeats valid points if npoint exceeds
+            the valid count). Masked runs take the fori_loop path.
     Returns:
         [B, npoint] int32 indices.
     """
     B, N, _ = xyz.shape
     if start_idx is None:
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and mask is None:
             from if_defense_tpu.ops.pallas_fps import fps_pallas
 
             return fps_pallas(xyz, npoint)
-        start_idx = jnp.zeros((B,), jnp.int32)
+        if mask is None:
+            start_idx = jnp.zeros((B,), jnp.int32)
+        else:
+            # first valid point per cloud
+            start_idx = jnp.argmax(mask > 0, axis=1).astype(jnp.int32)
 
-    def single(xyz_b, start_b):
-        dist0 = jnp.full((N,), jnp.inf, xyz_b.dtype)
+    def single(xyz_b, start_b, valid_b):
+        # invalid points start (and stay, through the running min) at
+        # -inf so the farthest-argmax never selects them
+        dist0 = jnp.where(valid_b > 0, jnp.inf, -jnp.inf
+                          ).astype(xyz_b.dtype)
         out0 = jnp.zeros((npoint,), jnp.int32)
 
         def body(i, state):
@@ -191,11 +207,13 @@ def farthest_point_sample(
         )
         return out_idx
 
-    return jax.vmap(single)(xyz, start_idx)
+    valid = (jnp.ones((B, N)) if mask is None else mask)
+    return jax.vmap(single)(xyz, start_idx, valid)
 
 
 def query_ball_point(
-    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Radius neighbourhood grouping with fixed group size.
 
@@ -208,12 +226,16 @@ def query_ball_point(
         nsample: points per group (static).
         xyz: [B, N, 3] all points.
         new_xyz: [B, S, 3] group centres.
+        mask: optional [B, N] validity mask — masked points are treated
+            as out-of-radius (never grouped).
     Returns:
         [B, S, nsample] int32 indices into N.
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     sqrdists = square_distance(new_xyz, xyz)                 # [B, S, N]
+    if mask is not None:
+        sqrdists = jnp.where(mask[:, None, :] > 0, sqrdists, jnp.inf)
     arange = jnp.arange(N, dtype=jnp.int32)
     # out-of-radius -> sentinel N so that sorting pushes them last
     idx = jnp.where(sqrdists > radius**2, N, arange[None, None, :])

@@ -69,3 +69,23 @@ def scatter_max_2d(feat: jax.Array, index: jax.Array, num_cells: int) -> jax.Arr
         return jnp.where(jnp.isinf(out), 0.0, out)
 
     return jax.vmap(one)(feat, index)
+
+
+def pooled_mean_by_cell(feat: jax.Array, index: jax.Array) -> jax.Array:
+    """Per-POINT mean over all points sharing the same cell.
+
+    The scatter_mean + gather-back twin of `pooled_max_by_cell`
+    (PatchLocalPoolPointnet's scatter_type='mean' pooling,
+    `ConvONet/src/encoder/pointnet.py:282-299`).
+
+    Args:
+        feat: [B, N, C]; index: [B, N].
+    Returns:
+        [B, N, C] pooled features.
+    """
+    same = (index[:, :, None] == index[:, None, :]).astype(feat.dtype)
+    sums = jnp.einsum(
+        "bnm,bmc->bnc", same, feat, precision=jax.lax.Precision.HIGH
+    )
+    counts = jnp.sum(same, axis=-1, keepdims=True)               # [B, N, 1]
+    return sums / jnp.maximum(counts, 1.0)

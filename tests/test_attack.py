@@ -124,9 +124,16 @@ def test_fgm_family():
     assert np.isfinite(np.asarray(adv)).all()
 
 
+def toy_masked_logits_fn(pc, mask):
+    """Mask-aware toy victim: masked-sum pooling (= compacted sum)."""
+    m = mask[..., None].astype(pc.dtype)
+    return jnp.sum(pc * m, axis=1) @ W
+
+
 def test_saliency_drop_shrinks_cloud():
     pc, label, _ = _data()
-    out, still = saliency_drop(toy_logits_fn, pc, label, num_drop=10, k=5)
+    out, still = saliency_drop(
+        toy_masked_logits_fn, pc, label, num_drop=10, k=5)
     assert np.asarray(out).shape == (4, 22, 3)
 
 

@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--out_dir", default="/tmp/e2e")
     p.add_argument("--fast", action="store_true",
                    help="reduced sizes for smoke runs")
+    p.add_argument("--interp_refresh", type=int, default=1,
+                   help="opt-defense corner-cache refresh window "
+                        "(accuracy A/B for the fast path)")
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     results = {}
@@ -105,6 +108,7 @@ def main(argv=None):
         "--variant", "convonet", "--data_root", adv_path,
         "--weights", weights, "--iterations", str(defense_iters),
         "--batch_size", "40",
+        "--interp_refresh", str(args.interp_refresh),
     ])
     results["convonet_opt_accuracy"], _ = acc_of(opt_path)
 

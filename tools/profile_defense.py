@@ -25,8 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def sync(x):
-    """Reliable device barrier through the axon tunnel (scalar fetch)."""
-    return float(np.asarray(x).ravel()[0])
+    """Reliable device barrier through the axon tunnel (scalar fetch).
+
+    Extract ONE element on device first — np.asarray(whole_leaf) would
+    drag the full array across the ~20 MB/s tunnel and pollute timings.
+    """
+    import jax.numpy as jnp
+
+    flat = jnp.ravel(x)[0]
+    return float(flat)
 
 
 def bench_fn(fn, *args, warmup=2, reps=5, inner=1):
