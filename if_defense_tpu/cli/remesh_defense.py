@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--sor_k", type=int, default=2)
     p.add_argument("--sor_alpha", type=float, default=1.1)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--wire", default="bf16", choices=["bf16", "int8"],
+                   help="dense-path device->host value format (int8 "
+                        "halves the transfer; sub-quantum vertex shift)")
     return p.parse_args(argv)
 
 
@@ -70,7 +73,7 @@ def build_model(args):
 
 
 def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
-                 mesh=None):
+                 mesh=None, dense_fn=None):
     """Defend one [B, K, 3] batch; returns [B, sample_npoint, 3].
 
     With a mesh, the batch is sharded on dp so the encoder pass and the
@@ -99,7 +102,7 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
     meshes = generate_meshes(
         decode_fn, variables, c,
         threshold=args.threshold, resolution0=args.resolution0,
-        upsample=args.upsample,
+        upsample=args.upsample, dense_eval_fn=dense_fn, wire=args.wire,
     )
 
     proc_np = np.asarray(proc)
@@ -129,6 +132,18 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
 def defend_clouds(model, variables, input_n, pc, args, mesh=None):
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
+    # plane-latent ConvONet gets the dense-lattice fast path: planes
+    # resized to the fine lattice once per batch, then gather-free slab
+    # evaluation of the full fine grid (built ONCE — it carries a jit
+    # cache). Falls back to coarse+refine for grid-type latents / ONet.
+    dense_fn = None
+    if args.variant == "convonet":
+        from if_defense_tpu.implicit.generation import (
+            make_convonet_dense_eval,
+        )
+
+        dense_fn = make_convonet_dense_eval(
+            model, args.resolution0 * args.upsample, 1.1)
     outs, failures = [], 0
     B = args.batch_size
     for i in range(0, len(pc), B):
@@ -138,7 +153,8 @@ def defend_clouds(model, variables, input_n, pc, args, mesh=None):
             batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)], 0)
         key, sub = jax.random.split(key)
         out, failed = remesh_batch(
-            model, variables, input_n, batch, args, rng, sub, mesh)
+            model, variables, input_n, batch, args, rng, sub, mesh,
+            dense_fn)
         if pad:
             out, failed = out[: B - pad], failed[: B - pad]
         outs.append(out)

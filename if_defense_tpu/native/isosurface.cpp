@@ -10,10 +10,10 @@
 //
 // C ABI (ctypes): mt_extract() fills malloc'd buffers, mt_free() releases.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
-#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -38,26 +38,40 @@ const int kCornerOff[8][3] = {
     {1, 0, 0}, {1, 0, 1}, {1, 1, 0}, {1, 1, 1},
 };
 
+// Every tet edge runs from a corner to one with a superset of its offset
+// bits (the tets are monotone 0 -> a -> b -> 7 paths), so edge directions
+// have non-negative components and fall into exactly 7 classes: 3 axis
+// edges, the 3 face diagonals through corner 0/7, and the body diagonal.
+// That makes the edge -> vertex cache a dense [7, nx*ny*nz] int32 array
+// keyed by (direction class, lower endpoint) — O(1) lookups instead of a
+// hash map, which dominated extraction time at ~1M edges/mesh.
+inline int edge_class(int dx, int dy, int dz) {
+  // (1,0,0)->0 (0,1,0)->1 (0,0,1)->2 (0,1,1)->3 (1,0,1)->4 (1,1,0)->5
+  // (1,1,1)->6
+  static const int lut[8] = {-1, 2, 1, 3, 0, 4, 5, 6};
+  return lut[(dx << 2) | (dy << 1) | dz];
+}
+
 struct MeshAccum {
   std::vector<float> verts;    // xyz triples
   std::vector<int64_t> tris;   // index triples
-  // edge -> vertex index, keyed by the two packed grid-point ids
-  std::unordered_map<uint64_t, int64_t> edge_cache;
+  std::vector<int32_t> edge_cache;  // [7 * npoints], -1 = unset
+  size_t npoints = 0;
 };
-
-inline uint64_t pack_edge(uint64_t a, uint64_t b) {
-  if (a > b) std::swap(a, b);
-  return (a << 32) | b;
-}
 
 int64_t edge_vertex(MeshAccum* m, const float* vol, int ny, int nz,
                     int ax, int ay, int az, int bx, int by, int bz,
                     float iso) {
-  uint64_t ia = (uint64_t)(ax * ny + ay) * nz + az;
-  uint64_t ib = (uint64_t)(bx * ny + by) * nz + bz;
-  uint64_t key = pack_edge(ia, ib);
-  auto it = m->edge_cache.find(key);
-  if (it != m->edge_cache.end()) return it->second;
+  // canonicalize to the non-negative direction (callers pass inside /
+  // outside order; monotone edges have all-same-sign deltas)
+  if (bx < ax || by < ay || bz < az) {
+    std::swap(ax, bx); std::swap(ay, by); std::swap(az, bz);
+  }
+  size_t ia = ((size_t)ax * ny + ay) * nz + az;
+  size_t ib = ((size_t)bx * ny + by) * nz + bz;
+  int cls = edge_class(bx - ax, by - ay, bz - az);
+  int32_t* slot = &m->edge_cache[(size_t)cls * m->npoints + ia];
+  if (*slot >= 0) return *slot;
 
   float va = vol[ia], vb = vol[ib];
   float t = (iso - va) / (vb - va);
@@ -70,7 +84,7 @@ int64_t edge_vertex(MeshAccum* m, const float* vol, int ny, int nz,
   m->verts.push_back(px);
   m->verts.push_back(py);
   m->verts.push_back(pz);
-  m->edge_cache.emplace(key, idx);
+  *slot = (int32_t)idx;
   return idx;
 }
 
@@ -88,22 +102,35 @@ int mt_extract(const float* vol, int nx, int ny, int nz, float iso,
   MeshAccum m;
   m.verts.reserve(1 << 16);
   m.tris.reserve(1 << 16);
+  m.npoints = (size_t)nx * ny * nz;
+  m.edge_cache.assign(7 * m.npoints, -1);
+
+  // byte occupancy mask: the all-in / all-out test for the (overwhelmingly
+  // common) empty cube becomes 8 byte loads on 4 row pointers instead of
+  // 8 strided float loads + compares
+  std::vector<uint8_t> occ(m.npoints);
+  for (size_t i = 0; i < m.npoints; ++i) occ[i] = vol[i] > iso;
 
   for (int x = 0; x + 1 < nx; ++x) {
     for (int y = 0; y + 1 < ny; ++y) {
+      const uint8_t* r00 = &occ[((size_t)x * ny + y) * nz];
+      const uint8_t* r01 = r00 + nz;
+      const uint8_t* r10 = r00 + (size_t)ny * nz;
+      const uint8_t* r11 = r10 + nz;
       for (int z = 0; z + 1 < nz; ++z) {
+        int in_cnt = r00[z] + r00[z + 1] + r01[z] + r01[z + 1]
+                   + r10[z] + r10[z + 1] + r11[z] + r11[z + 1];
+        if (in_cnt == 0 || in_cnt == 8) continue;
+
         float cv[8];
         int cx[8], cy[8], cz[8];
-        bool any_in = false, any_out = false;
         for (int c = 0; c < 8; ++c) {
           int px = x + kCornerOff[c][0];
           int py = y + kCornerOff[c][1];
           int pz = z + kCornerOff[c][2];
           cx[c] = px; cy[c] = py; cz[c] = pz;
           cv[c] = vol[((size_t)px * ny + py) * nz + pz];
-          (cv[c] > iso ? any_in : any_out) = true;
         }
-        if (!any_in || !any_out) continue;
 
         for (const auto& tet : kTets) {
           int idx[4] = {tet[0], tet[1], tet[2], tet[3]};

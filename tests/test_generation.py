@@ -129,3 +129,151 @@ def test_generate_meshes_with_simplify():
     assert len(tris) <= 400
     r = np.sqrt((verts**2).sum(-1))
     np.testing.assert_allclose(r.mean(), 0.3, atol=0.05)
+
+
+def test_lattice_eval_matches_decode():
+    """The lattice fast path (resize-once + gather) must equal the exact
+    bilinear decode at lattice points."""
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.implicit.generation import (
+        eval_points_batched,
+        make_convonet_lattice_eval,
+    )
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    rng = np.random.default_rng(0)
+    init_pc = jnp.zeros((2, 32, 3))
+    variables = model.init(jax.random.key(0), init_pc, init_pc)
+    pc = jnp.asarray(rng.uniform(-0.4, 0.4, (3, 64, 3)), jnp.float32)
+    c = model.apply(variables, pc, method="encode_inputs")
+
+    rf, box = 8, 1.1
+    fidx = jnp.asarray(
+        rng.integers(0, rf + 1, (3, 40, 3)), jnp.int32)
+    pts = (fidx.astype(jnp.float32) / rf - 0.5) * box
+
+    def decode_fn(v, p, cc):
+        return model.apply(v, p, cc, method="decode")
+
+    exact = eval_points_batched(decode_fn, variables, c, pts, 64)
+    lattice_fn = make_convonet_lattice_eval(model, rf, box, chunk=32)
+    fast = lattice_fn(variables, c, fidx)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(exact), rtol=2e-4, atol=2e-5)
+
+
+def test_generate_meshes_lattice_path_matches_exact():
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.implicit.generation import (
+        make_convonet_lattice_eval,
+    )
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    rng = np.random.default_rng(1)
+    init_pc = jnp.zeros((2, 32, 3))
+    variables = model.init(jax.random.key(0), init_pc, init_pc)
+    pc = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 64, 3)), jnp.float32)
+    c = model.apply(variables, pc, method="encode_inputs")
+
+    def decode_fn(v, p, cc):
+        return model.apply(v, p, cc, method="decode")
+
+    kw = dict(threshold=0.4, resolution0=8, upsample=2, chunk=512,
+              max_active=64)
+    ref = generate_meshes(decode_fn, variables, c, **kw)
+    lattice_fn = make_convonet_lattice_eval(model, 16, 1.1, chunk=512)
+    fast = generate_meshes(decode_fn, variables, c,
+                           lattice_eval_fn=lattice_fn, **kw)
+    for (v0, t0), (v1, t1) in zip(ref, fast):
+        assert t0.shape == t1.shape
+        # values only differ by bf16 rounding on the wire + reassociation
+        if len(v0):
+            np.testing.assert_allclose(v0, v1, atol=2e-2)
+
+
+def test_dense_lattice_eval_matches_decode():
+    """Gather-free dense slab evaluation must equal the exact bilinear
+    decode at every lattice point."""
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.implicit.generation import (
+        eval_points_batched,
+        make_convonet_dense_eval,
+        make_grid,
+    )
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    rng = np.random.default_rng(2)
+    init_pc = jnp.zeros((2, 32, 3))
+    variables = model.init(jax.random.key(0), init_pc, init_pc)
+    pc = jnp.asarray(rng.uniform(-0.4, 0.4, (3, 64, 3)), jnp.float32)
+    c = model.apply(variables, pc, method="encode_inputs")
+
+    rf, box = 8, 1.1
+    dense_fn = make_convonet_dense_eval(model, rf, box)
+    dense = np.asarray(dense_fn(variables, c))        # [B, rp, rp, rp]
+
+    grid = make_grid(rf, box)
+    pts = jnp.broadcast_to(
+        jnp.asarray(grid.reshape(1, -1, 3)), (3, (rf + 1) ** 3, 3))
+
+    def decode_fn(v, p, cc):
+        return model.apply(v, p, cc, method="decode")
+
+    exact = np.asarray(eval_points_batched(
+        decode_fn, variables, c, pts, 128)).reshape(dense.shape)
+    np.testing.assert_allclose(dense, exact, rtol=2e-4, atol=2e-5)
+
+
+def test_generate_meshes_dense_path_matches_exact():
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.implicit.generation import make_convonet_dense_eval
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    rng = np.random.default_rng(3)
+    init_pc = jnp.zeros((2, 32, 3))
+    variables = model.init(jax.random.key(0), init_pc, init_pc)
+    pc = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 64, 3)), jnp.float32)
+    c = model.apply(variables, pc, method="encode_inputs")
+
+    def decode_fn(v, p, cc):
+        return model.apply(v, p, cc, method="decode")
+
+    kw = dict(threshold=0.4, resolution0=8, upsample=2, chunk=512)
+    # exact reference: dense fine grid via refine=False at Rf
+    ref = generate_meshes(decode_fn, variables, c, threshold=0.4,
+                          resolution0=16, upsample=1, refine=False,
+                          chunk=512)
+    dense_fn = make_convonet_dense_eval(model, 16, 1.1)
+    fast = generate_meshes(decode_fn, variables, c,
+                           dense_eval_fn=dense_fn, **kw)
+    for (v0, t0), (v1, t1) in zip(ref, fast):
+        assert t0.shape == t1.shape
+        if len(v0):
+            np.testing.assert_allclose(v0, v1, atol=2e-2)
+
+
+def test_dense_path_int8_wire_close_to_bf16():
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.implicit.generation import make_convonet_dense_eval
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    rng = np.random.default_rng(4)
+    init_pc = jnp.zeros((2, 32, 3))
+    variables = model.init(jax.random.key(0), init_pc, init_pc)
+    pc = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 64, 3)), jnp.float32)
+    c = model.apply(variables, pc, method="encode_inputs")
+
+    def decode_fn(v, p, cc):
+        return model.apply(v, p, cc, method="decode")
+
+    dense_fn = make_convonet_dense_eval(model, 16, 1.1)
+    kw = dict(threshold=0.4, resolution0=8, upsample=2,
+              dense_eval_fn=dense_fn)
+    ref = generate_meshes(decode_fn, variables, c, wire="bf16", **kw)
+    q = generate_meshes(decode_fn, variables, c, wire="int8", **kw)
+    cell = 1.1 / 16
+    for (v0, t0), (v1, t1) in zip(ref, q):
+        # same topology, vertices within one fine cell
+        assert abs(len(t0) - len(t1)) <= max(10, len(t0) // 20)
+        if len(v0) and len(v0) == len(v1):
+            assert np.abs(v0 - v1).max() < cell

@@ -159,3 +159,52 @@ if __name__ == "__main__":
     t = bench_fn(lambda: defend(variables, pc, key), warmup=1, reps=3)
     print(f"full defense:     {t:8.2f} s / batch "
           f"({B / t:6.2f} clouds/s)")
+
+    # --- corner-cache path: refresh cost + cached-step cost ---
+    from if_defense_tpu.defense.ifdefense import _convonet_corner_fns
+    from if_defense_tpu.defense import convonet_opt_defense
+
+    cache_fn, cached_fn = _convonet_corner_fns(model)
+
+    @jax.jit
+    def refresh_loop(p0):
+        def body(cache, _):
+            cache = jax.tree_util.tree_map(
+                lambda a, b: b * 1.0, cache, cache_fn(lv, p0, lc))
+            return cache, None
+        c0 = cache_fn(lv, p0, lc)
+        out, _ = jax.lax.scan(body, c0, None, length=args.iters)
+        return out["xz"][0]
+
+    t = bench_fn(refresh_loop, pts_c, inner=args.iters)
+    print(f"corner refresh:   {t*1e3:8.2f} ms / refresh")
+
+    cache0 = jax.jit(cache_fn)(lv, pts_c, lc)
+
+    def cached_loss(p):
+        occ = cached_fn(lv, p, lc, cache0)
+        rep = repulsion_loss_auto(p)
+        return (jnp.sum(occ.astype(jnp.float32) ** 2)
+                + jnp.sum(rep.astype(jnp.float32)))
+
+    from if_defense_tpu.defense.repulsion import repulsion_loss_auto
+    cached_g = jax.grad(cached_loss)
+
+    @jax.jit
+    def cached_loop(p0):
+        def body(p, _):
+            g = cached_g(p)
+            return p - 1e-4 * g.astype(p.dtype), None
+        out, _ = jax.lax.scan(body, p0, None, length=args.iters)
+        return out
+
+    t = bench_fn(cached_loop, pts_c, inner=args.iters)
+    print(f"cached step:      {t*1e3:8.2f} ms / iter (lerp+head+rep bwd)")
+
+    # --- full cached defense at interp_refresh=8 (bench workload) ---
+    defend8 = convonet_opt_defense(
+        model, variables, iterations=200, compute_dtype=cd,
+        interp_refresh=8)
+    t = bench_fn(lambda: defend8(pc, key), warmup=1, reps=3)
+    print(f"full defense R=8: {t:8.2f} s / batch "
+          f"({B / t:6.2f} clouds/s)")
