@@ -8,6 +8,7 @@ Runs the full IF-Defense pipeline on the synthetic 8-class shape family
   3. SOR baseline defense                (partial recovery)
   4. train ConvONet on synth8 occupancy
   5. ConvONet-Opt IF-Defense             (stronger recovery)
+  6. ConvONet-Mesh IF-Defense            (dense-lattice mesh path)
 
 Usage: python tools/e2e_demo.py --out_dir /tmp/e2e [--fast]
 """
@@ -111,6 +112,17 @@ def main(argv=None):
         "--interp_refresh", str(args.interp_refresh),
     ])
     results["convonet_opt_accuracy"], _ = acc_of(opt_path)
+
+    # 6. ConvONet-Mesh IF-Defense (dense-lattice generation path)
+    from if_defense_tpu.cli.remesh_defense import main as remesh_main
+
+    mesh_path, = remesh_main([
+        "--variant", "convonet", "--data_root", adv_path,
+        "--weights", weights, "--batch_size", "40",
+        *(["--resolution0", "16", "--upsample", "2"]
+          if args.fast else []),
+    ])
+    results["convonet_mesh_accuracy"], _ = acc_of(mesh_path)
 
     print(json.dumps(results, indent=2, default=float))
     with open(os.path.join(args.out_dir, "results.json"), "w") as f:
