@@ -83,3 +83,28 @@ def test_sharded_opt_defense_matches_single_device():
 
     assert np.isfinite(out_sharded).all()
     np.testing.assert_allclose(out_single, out_sharded, atol=1e-5)
+
+
+def test_sharded_dense_mesh_eval_matches_single_device():
+    """The mesh defense's device-side core (encode + dense-lattice
+    occupancy evaluation) sharded on dp must match single-device values
+    (`cli/remesh_defense.py` shards exactly this)."""
+    from if_defense_tpu.implicit.generation import make_convonet_dense_eval
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    rng = np.random.default_rng(5)
+    init_pc = jnp.zeros((2, 32, 3))
+    variables = model.init(jax.random.key(0), init_pc, init_pc)
+    pc = np.asarray(rng.uniform(-0.4, 0.4, (8, 64, 3)), np.float32)
+
+    encode = jax.jit(lambda v, p: model.apply(v, p, method="encode_inputs"))
+    dense_fn = make_convonet_dense_eval(model, 8, 1.1)
+
+    single = np.asarray(dense_fn(variables, encode(variables,
+                                                   jnp.asarray(pc))))
+
+    mesh = data_parallel_mesh()
+    v_rep = replicate(variables, mesh)
+    pc_sh = shard_batch(pc, mesh)
+    sharded = np.asarray(dense_fn(v_rep, encode(v_rep, pc_sh)))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
