@@ -11,10 +11,13 @@ import numpy as np
 
 from if_defense_tpu.defense.repulsion import repulsion_loss
 from if_defense_tpu.ops.pallas_repulsion import (
-    NT,
+    _tile_rows,
     fused_repulsion_loss,
     fused_repulsion_supported,
 )
+
+
+NT = _tile_rows(512)
 
 
 def _points(B=2, N=NT * 2, seed=0, scale=0.5):

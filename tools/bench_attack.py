@@ -1,0 +1,107 @@
+"""Attack-layer throughput on real TPU (CW-Perturb, FGM family, Drop).
+
+The reference's attack story is its DDP pain point (7 scripts sharded
+over GPUs, per-rank npz merging — `targeted_perturb_attack.py:99-174`);
+here each attack is one jitted scan on device. This records clouds/sec
+per attack at reference hyperparameters against a random-init PointNet
+(throughput is weight-independent).
+
+Usage: python tools/bench_attack.py [--batch 64] [--out BENCH_ATTACK.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.ravel(x)[0])
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from if_defense_tpu.attack.cw import cw_perturb
+    from if_defense_tpu.attack.drop import saliency_drop
+    from if_defense_tpu.attack.fgm import ifgm, pgd
+    from if_defense_tpu.models import build_model
+    from if_defense_tpu.training import create_train_state, eval_variables
+
+    B, N = args.batch, args.num_points
+    model = build_model("pointnet", num_classes=40)
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    pc = pc / jnp.linalg.norm(pc, axis=-1, keepdims=True)
+    state = create_train_state(model, jax.random.key(0), pc)
+    variables = eval_variables(state)
+    target = jnp.asarray(rng.integers(0, 40, B))
+    label = jnp.asarray(rng.integers(0, 40, B))
+    key = jax.random.key(1)
+
+    def logits_fn(x):
+        return model.apply(variables, x, train=False)[0]
+
+    def masked_logits_fn(x, mask):
+        return model.apply(variables, x, train=False, mask=mask)[0]
+
+    results = {}
+
+    def run(name, fn, reps=2):
+        out = fn()                                   # compile + warmup
+        sync(jax.tree_util.tree_leaves(out)[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            sync(jax.tree_util.tree_leaves(out)[0])
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        results[name] = round(B / dt, 2)
+        print(f"{name:24s} {B / dt:8.2f} clouds/s  ({dt:.2f} s/batch)")
+
+    # CW-Perturb at reference hyperparameters (Perturb.py: 10 x 500)
+    run("cw_perturb_10x500", lambda: cw_perturb(
+        logits_fn, pc, target, key, binary_step=10, num_iter=500))
+
+    # I-FGM / PGD, 50 iters, eps 0.08*sqrt(3N) as the driver scales it
+    import math
+
+    budget = 0.08 * math.sqrt(N * 3)
+    run("ifgm_50", lambda: ifgm(
+        logits_fn, pc, target, key, budget=budget,
+        step_size=budget / 10, num_iter=50))
+    run("pgd_50", lambda: pgd(
+        logits_fn, pc, target, key, budget=budget,
+        step_size=budget / 10, num_iter=50))
+
+    # saliency Drop-200 (k=5 per round -> 40 rounds)
+    run("drop_200", lambda: saliency_drop(
+        masked_logits_fn, pc, label, num_drop=200))
+
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "metric": "attack_clouds_per_sec",
+                "batch": B, "num_points": N, "victim": "pointnet",
+                "results": results,
+                "note": "v5e single chip; one jitted scan per attack, "
+                        "reference hyperparameters",
+            }, f, indent=1)
