@@ -69,6 +69,15 @@ def chain(tmp_path_factory):
         "--sample_npoint", "64", "--batch_size", str(BATCH),
     ])
 
+    from if_defense_tpu.cli.remesh_defense import main as remesh_main
+
+    mesh_path, = remesh_main([
+        "--variant", "convonet", "--data_root", adv_path,
+        "--weights", weights, "--batch_size", str(BATCH),
+        "--resolution0", "8", "--upsample", "2", "--input_npoint", "32",
+        "--sample_npoint", "64", "--wire", "int8",
+    ])
+
     from if_defense_tpu.cli.inference import main as inf_main
 
     def acc_of(path, ckpt_arg=ckpt, extra=()):
@@ -81,7 +90,8 @@ def chain(tmp_path_factory):
     return dict(
         out=out, data=data, ckpt=ckpt, registry=registry,
         best_acc=best_acc, adv_path=adv_path, attack_rate=attack_rate,
-        sor_path=sor_path, opt_path=opt_path, acc_of=acc_of,
+        sor_path=sor_path, opt_path=opt_path, mesh_path=mesh_path,
+        acc_of=acc_of,
     )
 
 
@@ -134,3 +144,19 @@ def test_opt_defense_output(chain):
     # random implicit weights: only the mechanics are asserted
     r = chain["acc_of"](chain["opt_path"])
     assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_remesh_defense_output(chain):
+    """Mesh defense (dense-lattice path, int8 wire) writes a valid npz of
+    unit-sphere clouds + a metrics sidecar."""
+    from if_defense_tpu.data import load_npz
+
+    out = load_npz(chain["mesh_path"])
+    assert out.test_pc.shape[1:] == (64, 3)
+    assert np.isfinite(out.test_pc).all()
+    radii = np.linalg.norm(out.test_pc, axis=-1).max(axis=1)
+    np.testing.assert_allclose(radii, 1.0, atol=1e-3)
+    metrics = chain["mesh_path"] + ".metrics.jsonl"
+    assert os.path.exists(metrics)
+    rec = json.loads(open(metrics).readline())
+    assert rec["variant"] == "convonet-mesh"
