@@ -53,6 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--knn_refresh", type=int, default=1,
                    help="rebuild the repulsion kNN graph every R "
                         "iterations (1 = reference semantics)")
+    p.add_argument("--exact_knn", action="store_true",
+                   help="exact top-k repulsion neighbour selection "
+                        "instead of the fused/approx kernel (slower; "
+                        "strict reference semantics)")
     p.add_argument("--interp_refresh", type=int, default=1,
                    help="refresh the decoder's cached bilinear corner "
                         "features every R iterations (convonet only; "
@@ -84,6 +88,7 @@ def build_defend_fn(args):
         sor_k=args.sor_k,
         sor_alpha=args.sor_alpha,
         knn_refresh=args.knn_refresh,
+        exact_knn=args.exact_knn,
         compute_dtype=args.compute_dtype,
     )
     if args.variant == "convonet":

@@ -57,7 +57,7 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--wire", default="bf16", choices=["bf16", "int8"],
                    help="dense-path device->host value format (int8 "
-                        "halves the transfer; sub-quantum vertex shift)")
+                        "halves the transfer; vertex shift <= 1 quantum)")
     return p.parse_args(argv)
 
 
@@ -81,9 +81,10 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
     only the per-cloud isosurface + sampling stay host-side.
     """
     B = batch_pc.shape[0]
-    pc = jnp.asarray(batch_pc, jnp.float32)
     if mesh is not None:
         pc = shard_batch(np.asarray(batch_pc, np.float32), mesh)
+    else:
+        pc = jnp.asarray(batch_pc, jnp.float32)
     if not args.no_sor:
         pc, mask = sor_defense(pc, args.sor_k, args.sor_alpha)
     else:
@@ -129,21 +130,10 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
     return out, failed
 
 
-def defend_clouds(model, variables, input_n, pc, args, mesh=None):
+def defend_clouds(model, variables, input_n, pc, args, mesh=None,
+                  dense_fn=None):
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
-    # plane-latent ConvONet gets the dense-lattice fast path: planes
-    # resized to the fine lattice once per batch, then gather-free slab
-    # evaluation of the full fine grid (built ONCE — it carries a jit
-    # cache). Falls back to coarse+refine for grid-type latents / ONet.
-    dense_fn = None
-    if args.variant == "convonet":
-        from if_defense_tpu.implicit.generation import (
-            make_convonet_dense_eval,
-        )
-
-        dense_fn = make_convonet_dense_eval(
-            model, args.resolution0 * args.upsample, 1.1)
     outs, failures = [], 0
     B = args.batch_size
     for i in range(0, len(pc), B):
@@ -178,6 +168,19 @@ def main(argv=None):
     # dominate; host isosurface extraction stays per-cloud)
     mesh = best_data_mesh(args.batch_size)
     variables = replicate(variables, mesh)
+    # plane-latent ConvONet gets the dense-lattice fast path: planes
+    # resized to the fine lattice once per batch, then gather-free slab
+    # evaluation of the full fine grid. Built ONCE here — it carries the
+    # jit cache across all files and train/test splits. Falls back to
+    # coarse+refine for grid-type latents / ONet.
+    dense_fn = None
+    if args.variant == "convonet":
+        from if_defense_tpu.implicit.generation import (
+            make_convonet_dense_eval,
+        )
+
+        dense_fn = make_convonet_dense_eval(
+            model, args.resolution0 * args.upsample, 1.1)
 
     files = (
         [os.path.join(args.data_root, f)
@@ -193,11 +196,13 @@ def main(argv=None):
         if d.target_label is not None:
             out["target_label"] = d.target_label
         out["test_pc"], fails = defend_clouds(
-            model, variables, input_n, d.test_pc[..., :3], args, mesh)
+            model, variables, input_n, d.test_pc[..., :3], args, mesh,
+            dense_fn)
         n = len(out["test_pc"])
         if args.train:
             out["train_pc"], f2 = defend_clouds(
-                model, variables, input_n, d.train_pc[..., :3], args, mesh)
+                model, variables, input_n, d.train_pc[..., :3], args,
+                mesh, dense_fn)
             out["train_label"] = d.train_label
             n += len(out["train_pc"])
             fails += f2

@@ -196,42 +196,67 @@ def make_opt_defense(
             and decode_cached_fn is not None
         )
         if use_cache:
-            def loss_fn_cached(p, cache):
+            # the repulsion term honours the SAME exact_knn / knn_refresh
+            # semantics as the uncached path (the corner cache only
+            # amortises the decoder's plane sampling)
+            def loss_fn_cached(p, cache, idx):
                 if cd is not None:
                     p = p.astype(cd)
                 occ = decode_cached_fn(loop_variables, p, c, cache)
                 occ_loss = occupancy_bce(
                     occ.astype(jnp.float32), threshold) * sample_npoint
+                if use_fused:
+                    rep_each = repulsion_loss_auto(p)
+                else:
+                    rep_each = repulsion_loss_with_idx(p, idx)
                 rep = jnp.mean(
-                    repulsion_loss_auto(p).astype(jnp.float32)
-                ) * rep_weight
+                    rep_each.astype(jnp.float32)) * rep_weight
                 return occ_loss + rep
 
-            grad_cached = jax.grad(loss_fn_cached)
+            grad_cached = jax.grad(loss_fn_cached, argnums=0)
 
-            def inner(carry, _):
-                p, opt_state, cache = carry
-                grads = grad_cached(p, cache)
+            def inner(carry, i):
+                p, opt_state, cache, idx = carry
+                if use_fused:
+                    pass
+                elif knn_refresh == 1:
+                    idx = repulsion_knn(p, exact=exact_knn)
+                else:
+                    idx = jax.lax.cond(
+                        i % knn_refresh == 0,
+                        lambda q, _: repulsion_knn(q, exact=exact_knn),
+                        lambda _, old: old,
+                        p, idx,
+                    )
+                grads = grad_cached(p, cache, idx)
                 updates, opt_state = opt.update(grads, opt_state, p)
                 p = optax.apply_updates(p, updates)
-                return (p, opt_state, cache), None
+                return (p, opt_state, cache, idx), None
 
-            def run_window(p, opt_state, length):
+            def run_window(p, opt_state, idx, start, length):
                 cache = corner_cache_fn(
                     loop_variables, p.astype(cd) if cd is not None else p, c)
-                (p, opt_state, _), _ = jax.lax.scan(
-                    inner, (p, opt_state, cache), None, length=length)
-                return p, opt_state
+                (p, opt_state, _, idx), _ = jax.lax.scan(
+                    inner, (p, opt_state, cache, idx),
+                    start + jnp.arange(length))
+                return p, opt_state, idx
 
-            def block(carry, _):
-                p, opt_state = carry
-                return run_window(p, opt_state, interp_refresh), None
+            def block(carry, start):
+                p, opt_state, idx = carry
+                return run_window(
+                    p, opt_state, idx, start, interp_refresh), None
 
+            if use_fused:
+                idx0 = jnp.zeros((B, sample_npoint, 1), jnp.int32)
+            else:
+                idx0 = repulsion_knn(pts, exact=exact_knn)
             n_blocks, tail = divmod(iterations + 1, interp_refresh)
+            starts = jnp.arange(n_blocks) * interp_refresh
             carry, _ = jax.lax.scan(
-                block, (pts, opt.init(pts)), None, length=n_blocks)
+                block, (pts, opt.init(pts), idx0), starts)
             if tail:
-                carry = run_window(*carry, tail)
+                carry = run_window(
+                    *carry, n_blocks * interp_refresh, tail)
             return normalize_unit_sphere(carry[0])
 
         # reference runs `range(iterations + 1)` -> 201 steps

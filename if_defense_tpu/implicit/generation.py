@@ -103,9 +103,11 @@ def make_convonet_dense_eval(model, rf: int, box_size: float):
     (jitted). Supersedes the two-pass coarse+refine scheme for ConvONet:
     gather-free slab evaluation of the full fine lattice is faster than
     refining half as many points through TPU gathers, needs no host-side
-    assembly, and is exact everywhere. None for 'grid'-type latents.
+    assembly, and is exact everywhere. None unless the latent is exactly
+    the three xz/xy/yz planes (`dense_lattice_logits` combines all
+    three per slab; grid or partial-plane configs keep the exact path).
     """
-    if "grid" in model.plane_type:
+    if set(model.plane_type) != {"xz", "xy", "yz"}:
         return None
 
     @jax.jit
@@ -283,10 +285,10 @@ def generate_meshes(
             refinement passes are replaced by ONE exact dense evaluation
             of the full fine lattice (fastest ConvONet path).
         wire: dense-path device->host format — "bf16" (default) or
-            "int8" (logits quantised to 1/16 steps in iso +- 8; occupancy
-            signs exact, crossing-vertex positions shift by <= half a
-            quantum — halves the transfer, which dominates when the
-            host link is slow).
+            "int8" (logits quantised to 1/16 steps in iso +- 8, rounded
+            away from zero; occupancy signs exact, crossing-vertex
+            positions shift by <= one quantum — halves the transfer,
+            which dominates when the host link is slow).
     Returns:
         list of (vertices [V, 3] float32 world coords, triangles [T, 3]).
     """
@@ -299,7 +301,11 @@ def generate_meshes(
         # cast to f32 host-side
         vals_dev = dense_eval_fn(variables, c)
         if wire == "int8":
-            q = jnp.round(jnp.clip((vals_dev - iso) * 16.0, -127, 127))
+            # round AWAY from zero so sign(q) == sign(v - iso) exactly:
+            # round-to-nearest would collapse logits in (iso, iso + 1/32]
+            # onto iso and flip their occupancy
+            x = jnp.clip((vals_dev - iso) * 16.0, -127, 127)
+            q = jnp.where(x > 0, jnp.ceil(x), jnp.floor(x))
             values = (np.asarray(q.astype(jnp.int8)).astype(np.float32)
                       / 16.0 + iso)
         else:
@@ -543,5 +549,8 @@ def generate_mesh_sliding(
 
     vol = np.pad(value_grid, 1, constant_values=-1e6)
     verts, tris = marching_isosurface(vol.astype(np.float32), iso)
-    verts = (verts - 1.0) / r * query_crop_size + lb
+    # undo the 1-cell pad, then map grid index i to its query position
+    # (i + 0.5)/r * crop — queries are CELL CENTERS, so the back-
+    # transform carries the same half-cell offset
+    verts = (verts - 1.0 + 0.5) / r * query_crop_size + lb
     return verts.astype(np.float32), tris

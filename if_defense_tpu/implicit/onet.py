@@ -50,8 +50,14 @@ class DecoderCBatchNorm(nn.Module):
     def __call__(self, p, c, z=None, train: bool = False):
         # p: [B, T, 3]; c: [B, c_dim] -> logits [B, T]
         net = nn.Dense(self.hidden_size, name="fc_p")(p)
-        if self.z_dim and z is not None:
-            net = net + nn.Dense(self.hidden_size, name="fc_z")(z)[:, None]
+        if self.z_dim:
+            # z=None means the prior mean (zeros) — the reference decoder
+            # always applies fc_z when z_dim > 0 (`get_z_from_prior` with
+            # sample=False yields the zero mean); branching on z would
+            # also make the param structure depend on call-time arguments
+            zz = (z if z is not None
+                  else jnp.zeros((net.shape[0], self.z_dim), net.dtype))
+            net = net + nn.Dense(self.hidden_size, name="fc_z")(zz)[:, None]
         for i in range(5):
             net = CResnetBlockConv1d(name=f"block{i}")(net, c, train)
         net = CBatchNorm(self.hidden_size, name="bn")(net, c, train)
@@ -71,8 +77,10 @@ class DecoderFC(nn.Module):
     @nn.compact
     def __call__(self, p, c=None, z=None, train: bool = False):
         net = nn.Dense(self.hidden_size, name="fc_p")(p)
-        if self.z_dim and z is not None:
-            net = net + nn.Dense(self.hidden_size, name="fc_z")(z)[:, None]
+        if self.z_dim:
+            zz = (z if z is not None
+                  else jnp.zeros((net.shape[0], self.z_dim), net.dtype))
+            net = net + nn.Dense(self.hidden_size, name="fc_z")(zz)[:, None]
         if self.c_dim and c is not None:
             net = net + nn.Dense(self.hidden_size, name="fc_c")(c)[:, None]
         for i in range(5):

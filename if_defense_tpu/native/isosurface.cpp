@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -52,11 +53,18 @@ inline int edge_class(int dx, int dy, int dz) {
   return lut[(dx << 2) | (dy << 1) | dz];
 }
 
+// Dense cache memory is 28 B per grid point regardless of surface size;
+// above this limit (scene-scale sliding-window volumes) fall back to the
+// surface-proportional hash map.
+const size_t kDenseCacheMaxPoints = (size_t)16 << 20;  // 16M pts = 448 MB
+
 struct MeshAccum {
   std::vector<float> verts;    // xyz triples
   std::vector<int64_t> tris;   // index triples
-  std::vector<int32_t> edge_cache;  // [7 * npoints], -1 = unset
+  std::vector<int32_t> edge_cache;  // dense: [7 * npoints], -1 = unset
+  std::unordered_map<uint64_t, int64_t> edge_map;  // scene-scale fallback
   size_t npoints = 0;
+  bool dense = true;
 };
 
 int64_t edge_vertex(MeshAccum* m, const float* vol, int ny, int nz,
@@ -70,8 +78,15 @@ int64_t edge_vertex(MeshAccum* m, const float* vol, int ny, int nz,
   size_t ia = ((size_t)ax * ny + ay) * nz + az;
   size_t ib = ((size_t)bx * ny + by) * nz + bz;
   int cls = edge_class(bx - ax, by - ay, bz - az);
-  int32_t* slot = &m->edge_cache[(size_t)cls * m->npoints + ia];
-  if (*slot >= 0) return *slot;
+  int32_t* slot = nullptr;
+  if (m->dense) {
+    slot = &m->edge_cache[(size_t)cls * m->npoints + ia];
+    if (*slot >= 0) return *slot;
+  } else {
+    uint64_t key = (uint64_t)cls * m->npoints + ia;
+    auto it = m->edge_map.find(key);
+    if (it != m->edge_map.end()) return it->second;
+  }
 
   float va = vol[ia], vb = vol[ib];
   float t = (iso - va) / (vb - va);
@@ -84,7 +99,11 @@ int64_t edge_vertex(MeshAccum* m, const float* vol, int ny, int nz,
   m->verts.push_back(px);
   m->verts.push_back(py);
   m->verts.push_back(pz);
-  *slot = (int32_t)idx;
+  if (m->dense) {
+    *slot = (int32_t)idx;
+  } else {
+    m->edge_map.emplace((uint64_t)cls * m->npoints + ia, idx);
+  }
   return idx;
 }
 
@@ -103,7 +122,12 @@ int mt_extract(const float* vol, int nx, int ny, int nz, float iso,
   m.verts.reserve(1 << 16);
   m.tris.reserve(1 << 16);
   m.npoints = (size_t)nx * ny * nz;
-  m.edge_cache.assign(7 * m.npoints, -1);
+  m.dense = m.npoints <= kDenseCacheMaxPoints;
+  if (m.dense) {
+    m.edge_cache.assign(7 * m.npoints, -1);
+  } else {
+    m.edge_map.reserve(1 << 20);
+  }
 
   // byte occupancy mask: the all-in / all-out test for the (overwhelmingly
   // common) empty cube becomes 8 byte loads on 4 row pointers instead of

@@ -120,3 +120,27 @@ def test_dupnet_pipeline_with_pretrained_weights():
     assert np.isfinite(out).all()
     # upsampled cloud should stay near the input's scale
     assert np.abs(out).max() < 10 * np.abs(pc).max()
+
+
+def test_cached_defense_honors_exact_knn(monkeypatch):
+    """interp_refresh>1 + exact_knn must NOT silently fall back to the
+    fused/approx repulsion (regression: the cached loop hardcoded
+    repulsion_loss_auto)."""
+    import if_defense_tpu.defense.ifdefense as ifd
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+
+    def boom(*a, **k):
+        raise AssertionError("fused/approx path used despite exact_knn")
+
+    monkeypatch.setattr(ifd, "repulsion_loss_auto", boom)
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    zeros = jnp.zeros((1, 32, 3))
+    variables = model.init(jax.random.key(0), zeros, zeros)
+    defend = ifd.convonet_opt_defense(
+        model, variables, iterations=3, input_npoint=16,
+        sample_npoint=32, interp_refresh=2, exact_knn=True)
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.normal(size=(2, 64, 3)) * 0.3, jnp.float32)
+    out = defend(pc, jax.random.key(1))
+    assert np.isfinite(np.asarray(out)).all()

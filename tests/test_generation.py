@@ -277,3 +277,15 @@ def test_dense_path_int8_wire_close_to_bf16():
         assert abs(len(t0) - len(t1)) <= max(10, len(t0) // 20)
         if len(v0) and len(v0) == len(v1):
             assert np.abs(v0 - v1).max() < cell
+
+
+def test_dense_eval_gate_requires_all_three_planes():
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.implicit.generation import make_convonet_dense_eval
+
+    assert make_convonet_dense_eval(
+        ConvOccupancyNetwork(plane_type=("xz",)), 8, 1.1) is None
+    assert make_convonet_dense_eval(
+        ConvOccupancyNetwork(plane_type=("grid",)), 8, 1.1) is None
+    assert make_convonet_dense_eval(
+        ConvOccupancyNetwork(), 8, 1.1) is not None

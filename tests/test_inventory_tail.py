@@ -147,6 +147,10 @@ def test_sliding_window_sphere():
     assert len(tris) > 0
     radii = np.linalg.norm(verts, axis=1)
     np.testing.assert_allclose(radii.mean(), 0.35, atol=0.05)
+    # centroid at the origin: catches back-transform offsets (the query
+    # points are cell CENTERS — a missing half-cell shift moves every
+    # vertex by query_crop_size/(2 * r0 * upsample) ~= 0.016 per axis)
+    np.testing.assert_allclose(verts.mean(0), 0.0, atol=0.008)
     # stitched grid must produce a sampleable closed surface
     pts = sample_surface(verts, tris, 256, rng)
     assert np.isfinite(pts).all()
