@@ -82,11 +82,12 @@ def build_defense_fn(name: str, args, mesh=None):
     raise ValueError(name)
 
 
-def defend_file(path: str, name: str, args) -> str:
+def defend_file(path: str, name: str, args, run=None) -> str:
     d = load_npz(path)
     test_pc = d.test_pc[..., :3].astype(np.float32)
     mesh = best_data_mesh(args.batch_size)
-    run, _ = build_defense_fn(name, args, mesh)
+    if run is None:
+        run, _ = build_defense_fn(name, args, mesh)
 
     key = jax.random.key(args.seed)
     outs = []
@@ -125,9 +126,12 @@ def main(argv=None):
         ]
     else:
         files = [args.data_root]
+    mesh = best_data_mesh(args.batch_size)
     for name in defenses:
+        # one jitted defense per name — its compile cache covers all files
+        run, _ = build_defense_fn(name, args, mesh)
         for f in files:
-            paths.append(defend_file(f, name, args))
+            paths.append(defend_file(f, name, args, run))
     return paths
 
 

@@ -55,6 +55,11 @@ def parse_args(argv=None):
     p.add_argument("--sor_k", type=int, default=2)
     p.add_argument("--sor_alpha", type=float, default=1.1)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--compute_dtype", default=None,
+                   choices=[None, "bfloat16"],
+                   help="run the coarse+refinement occupancy evals in "
+                        "bf16 (the ONet/exact path's MXU lever; the "
+                        "values only feed crossing tests/lerp)")
     p.add_argument("--wire", default="bf16", choices=["bf16", "int8"],
                    help="dense-path device->host value format (int8 "
                         "halves the transfer; vertex shift <= 1 quantum)")
@@ -73,7 +78,8 @@ def build_model(args):
 
 
 def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
-                 mesh=None, dense_fn=None):
+                 mesh=None, dense_fn=None, decode_fn=None,
+                 encode_fn=None):
     """Defend one [B, K, 3] batch; returns [B, sample_npoint, 3].
 
     With a mesh, the batch is sharded on dp so the encoder pass and the
@@ -93,17 +99,13 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
     k_enc, key = jax.random.split(key)
     sel = sample_valid(proc, mask, input_n, k_enc)
 
-    encode = jax.jit(
-        lambda v, p: model.apply(v, p, method="encode_inputs"))
-    c = encode(variables, sel)
-
-    def decode_fn(v, p, cc):
-        return model.apply(v, p, cc, method="decode")
+    c = encode_fn(variables, sel)
 
     meshes = generate_meshes(
         decode_fn, variables, c,
         threshold=args.threshold, resolution0=args.resolution0,
         upsample=args.upsample, dense_eval_fn=dense_fn, wire=args.wire,
+        compute_dtype=args.compute_dtype,
     )
 
     proc_np = np.asarray(proc)
@@ -131,7 +133,7 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
 
 
 def defend_clouds(model, variables, input_n, pc, args, mesh=None,
-                  dense_fn=None):
+                  dense_fn=None, decode_fn=None, encode_fn=None):
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
     outs, failures = [], 0
@@ -144,7 +146,7 @@ def defend_clouds(model, variables, input_n, pc, args, mesh=None,
         key, sub = jax.random.split(key)
         out, failed = remesh_batch(
             model, variables, input_n, batch, args, rng, sub, mesh,
-            dense_fn)
+            dense_fn, decode_fn, encode_fn)
         if pad:
             out, failed = out[: B - pad], failed[: B - pad]
         outs.append(out)
@@ -182,6 +184,15 @@ def main(argv=None):
         dense_fn = make_convonet_dense_eval(
             model, args.resolution0 * args.upsample, 1.1)
 
+    # ONE stable decode_fn for the whole run: eval_points_batched hashes
+    # it as a static jit argument, so a per-batch closure would recompile
+    # the (ONet / exact-path) occupancy evaluation every batch
+    def decode_fn(v, p, cc):
+        return model.apply(v, p, cc, method="decode")
+
+    encode_fn = jax.jit(
+        lambda v, p: model.apply(v, p, method="encode_inputs"))
+
     files = (
         [os.path.join(args.data_root, f)
          for f in sorted(os.listdir(args.data_root))
@@ -197,12 +208,12 @@ def main(argv=None):
             out["target_label"] = d.target_label
         out["test_pc"], fails = defend_clouds(
             model, variables, input_n, d.test_pc[..., :3], args, mesh,
-            dense_fn)
+            dense_fn, decode_fn, encode_fn)
         n = len(out["test_pc"])
         if args.train:
             out["train_pc"], f2 = defend_clouds(
                 model, variables, input_n, d.train_pc[..., :3], args,
-                mesh, dense_fn)
+                mesh, dense_fn, decode_fn, encode_fn)
             out["train_label"] = d.train_label
             n += len(out["train_pc"])
             fails += f2

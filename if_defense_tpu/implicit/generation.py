@@ -42,12 +42,23 @@ def make_grid(resolution: int, box_size: float) -> np.ndarray:
     return np.stack([X, Y, Z], axis=-1).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("decode_fn", "chunk"))
-def eval_points_batched(decode_fn, variables, c, points, chunk: int = 65536):
-    """Evaluate decode_fn on [B, P, 3] points in chunks, [B, P] logits."""
+@functools.partial(
+    jax.jit, static_argnames=("decode_fn", "chunk", "query_dtype"))
+def eval_points_batched(decode_fn, variables, c, points, chunk: int = 65536,
+                        query_dtype: str | None = None):
+    """Evaluate decode_fn on [B, P, 3] points in chunks, [B, P] logits.
+
+    `query_dtype="bfloat16"` casts the queries inside the jit (pair with
+    bf16-cast variables/c for a full-bf16 evaluation — a string static so
+    the jit cache stays hit). NOTE: decode_fn is a STATIC argument hashed
+    by identity — pass a stable function, not a per-call lambda, or every
+    call recompiles.
+    """
     B, P, _ = points.shape
     pad = (-P) % chunk
     pts = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
+    if query_dtype is not None:
+        pts = pts.astype(jnp.dtype(query_dtype))
     n_chunks = pts.shape[1] // chunk
     pts = pts.reshape(B, n_chunks, chunk, 3)
 
@@ -60,6 +71,79 @@ def eval_points_batched(decode_fn, variables, c, points, chunk: int = 65536):
     )                                               # [n_chunks, B, chunk]
     vals = jnp.moveaxis(vals, 0, 1).reshape(B, -1)
     return vals[:, :P]
+
+
+def _voxel_offsets(u: int) -> np.ndarray:
+    """[(u+1)^3, 3] fine sample offsets inside one coarse voxel (ij
+    order — the eval/assembly layout contract)."""
+    return np.stack(np.meshgrid(
+        np.arange(u + 1), np.arange(u + 1), np.arange(u + 1),
+        indexing="ij"), -1).reshape(-1, 3)
+
+
+# The refinement helpers live at module level so their jit caches persist
+# across batches — per-call @jax.jit closures recompiled through the
+# remote-compile tunnel on EVERY refinement call (~20 s/batch, measured;
+# the actual device work is ~0.1 s).
+@functools.partial(jax.jit, static_argnames=("r0", "max_active"))
+def _pick_active(vals, iso, *, r0: int, max_active: int):
+    """Active (sign-mixed, 1-dilated) voxels of the coarse field.
+
+    Returns ([B, max_active] flat voxel ids by score, [B, r0^3] scores).
+    """
+    B = vals.shape[0]
+    occ = vals > iso                                   # [B, r0+1]^3
+
+    # voxel is active if its 8 corners disagree
+    def corners(o):
+        mn = o[:, :-1, :-1, :-1]
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    if dx == dy == dz == 0:
+                        continue
+                    mn = mn & o[:, dx:r0 + dx, dy:r0 + dy, dz:r0 + dz]
+        mx = o[:, :-1, :-1, :-1]
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    if dx == dy == dz == 0:
+                        continue
+                    mx = mx | o[:, dx:r0 + dx, dy:r0 + dy, dz:r0 + dz]
+        return (~mn) & mx                              # mixed corners
+
+    act = corners(occ)                                 # [B, r0, r0, r0]
+    # dilate by one voxel (3^3 max pool) like MISE's neighbour prop;
+    # raw surface voxels get a higher score than the dilated ring so a
+    # tight max_active budget drops ring voxels first
+    a = act.astype(jnp.float32)[..., None]
+    ring = jax.lax.reduce_window(
+        a, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 1, 1, 1, 1),
+        "SAME",
+    )[..., 0]
+    score = ring + a[..., 0]                           # 2 = raw, 1 = ring
+    flat = score.reshape(B, -1)
+    # static top-K active voxels (score-padded with inactive)
+    _, idx = jax.lax.top_k(flat, max_active)           # [B, K]
+    return idx, flat
+
+
+@functools.partial(jax.jit, static_argnames=("r0", "u"))
+def _fine_indices(idx, *, r0: int, u: int):
+    """[B, K*(u+1)^3, 3] int32 fine-lattice coords of the sample points
+    of voxels `idx` [B, K] — built ON DEVICE (the expanded array is
+    hundreds of MB and must not cross the host link)."""
+    B = idx.shape[0]
+    vx = jnp.stack([idx // (r0 * r0), (idx // r0) % r0, idx % r0], -1)
+    fid = vx[:, :, None, :] * u + jnp.asarray(_voxel_offsets(u))[None, None]
+    return fid.reshape(B, -1, 3).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("r0", "u", "box_size"))
+def _fine_points(idx, *, r0: int, u: int, box_size: float):
+    """World coordinates of `_fine_indices`, [B, K*(u+1)^3, 3] f32."""
+    fid = _fine_indices(idx, r0=r0, u=u)
+    return (fid.astype(jnp.float32) / (r0 * u) - 0.5) * box_size
 
 
 def make_convonet_lattice_eval(model, rf: int, box_size: float,
@@ -131,6 +215,7 @@ def active_voxel_refinement(
     chunk: int = 8192,
     timings: dict | None = None,
     lattice_eval_fn=None,
+    query_dtype: str | None = None,
 ):
     """Refine the occupancy field near the surface.
 
@@ -149,59 +234,10 @@ def active_voxel_refinement(
     R0, U = resolution0, upsample
     Rf = R0 * U
     max_active = min(max_active, R0**3)
+    offs = _voxel_offsets(U)                       # [(U+1)^3, 3]
 
-    @functools.partial(jax.jit, static_argnames=())
-    def pick_active(vals):
-        occ = vals > iso                               # [B, R0+1]^3
-        # voxel is active if its 8 corners disagree
-        def corners(o):
-            mn = o[:, :-1, :-1, :-1]
-            for dx in (0, 1):
-                for dy in (0, 1):
-                    for dz in (0, 1):
-                        if dx == dy == dz == 0:
-                            continue
-                        mn = mn & o[:, dx:R0 + dx, dy:R0 + dy, dz:R0 + dz]
-            mx = o[:, :-1, :-1, :-1]
-            for dx in (0, 1):
-                for dy in (0, 1):
-                    for dz in (0, 1):
-                        if dx == dy == dz == 0:
-                            continue
-                        mx = mx | o[:, dx:R0 + dx, dy:R0 + dy, dz:R0 + dz]
-            return (~mn) & mx                          # mixed corners
-
-        act = corners(occ)                             # [B, R0, R0, R0]
-        # dilate by one voxel (3^3 max pool) like MISE's neighbour prop;
-        # raw surface voxels get a higher score than the dilated ring so
-        # a tight max_active budget drops ring voxels first
-        a = act.astype(jnp.float32)[..., None]
-        ring = jax.lax.reduce_window(
-            a, -jnp.inf, jax.lax.max, (1, 3, 3, 3, 1), (1, 1, 1, 1, 1),
-            "SAME",
-        )[..., 0]
-        score = ring + a[..., 0]                       # 2 = raw, 1 = ring
-        flat = score.reshape(B, -1)
-        # static top-K active voxels (score-padded with inactive)
-        _, idx = jax.lax.top_k(flat, max_active)       # [B, K]
-        return idx, flat
-
-    idx_dev, flat = pick_active(coarse_logits)
-
-    # fine sample offsets inside one coarse voxel: (U+1)^3 grid points
-    offs = np.stack(np.meshgrid(
-        np.arange(U + 1), np.arange(U + 1), np.arange(U + 1),
-        indexing="ij"), -1).reshape(-1, 3)             # [(U+1)^3, 3]
-
-    # build the query points ON DEVICE from the [B, K] voxel ids — the
-    # expanded [B, K*(U+1)^3, 3] array is hundreds of MB and must not
-    # cross the host link
-    @jax.jit
-    def fine_indices(idx):
-        vx = jnp.stack(
-            [idx // (R0 * R0), (idx // R0) % R0, idx % R0], -1)
-        fid = vx[:, :, None, :] * U + jnp.asarray(offs)[None, None]
-        return fid.reshape(B, -1, 3).astype(jnp.int32)   # [B, K*O, 3]
+    idx_dev, flat = _pick_active(
+        coarse_logits, jnp.float32(iso), r0=R0, max_active=max_active)
 
     t0 = _time.perf_counter()
     # bf16 on the wire: the refined values only feed the isosurface
@@ -210,13 +246,13 @@ def active_voxel_refinement(
     # on the wire again).
     if lattice_eval_fn is not None:
         vals_dev = lattice_eval_fn(
-            variables, c, fine_indices(idx_dev)).astype(jnp.bfloat16)
+            variables, c, _fine_indices(idx_dev, r0=R0, u=U)
+        ).astype(jnp.bfloat16)
     else:
-        fine_pts = (
-            fine_indices(idx_dev).astype(jnp.float32) / Rf - 0.5
-        ) * box_size
+        fine_pts = _fine_points(
+            idx_dev, r0=R0, u=U, box_size=float(box_size))
         vals_dev = eval_points_batched(
-            decode_fn, variables, c, fine_pts, chunk
+            decode_fn, variables, c, fine_pts, chunk, query_dtype
         ).astype(jnp.bfloat16)                         # [B, K*O]
     if timings is not None:
         # scalar fetch: a real device barrier (block_until_ready returns
@@ -270,6 +306,7 @@ def generate_meshes(
     lattice_eval_fn=None,
     dense_eval_fn=None,
     wire: str = "bf16",
+    compute_dtype: str | None = None,
 ):
     """Extract one mesh per latent in the batch.
 
@@ -289,6 +326,11 @@ def generate_meshes(
             away from zero; occupancy signs exact, crossing-vertex
             positions shift by <= one quantum — halves the transfer,
             which dominates when the host link is slow).
+        compute_dtype: "bfloat16" runs the coarse + refinement occupancy
+            evaluations in bf16 (params/latent/queries cast once) — the
+            values only feed crossing tests and linear interpolation, and
+            the ONet decoder's 256-wide CBN matmuls are MXU-bound, so
+            this is the big lever for the non-dense (ONet / grid) path.
     Returns:
         list of (vertices [V, 3] float32 world coords, triangles [T, 3]).
     """
@@ -296,6 +338,14 @@ def generate_meshes(
     box_size = 1.0 + padding
 
     B = jax.tree_util.tree_leaves(c)[0].shape[0]
+    qdt = None
+    if compute_dtype is not None and dense_eval_fn is None:
+        cdt = jnp.dtype(compute_dtype)
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        variables, c = cast(variables), cast(c)
+        qdt = compute_dtype                 # queries cast inside the jit
     if dense_eval_fn is not None and refine and upsample > 1:
         # values only feed crossing tests / lerp; compact wire format,
         # cast to f32 host-side
@@ -316,14 +366,15 @@ def generate_meshes(
         R0p = resolution0 + 1
         pts = jnp.asarray(grid.reshape(1, -1, 3))
         pts = jnp.broadcast_to(pts, (B, pts.shape[1], 3))
-        coarse = eval_points_batched(decode_fn, variables, c, pts, chunk)
+        coarse = eval_points_batched(
+            decode_fn, variables, c, pts, chunk, qdt)
         coarse = coarse.reshape(B, R0p, R0p, R0p)
 
         if refine and upsample > 1:
             values = active_voxel_refinement(
                 decode_fn, variables, c, coarse, resolution0, upsample,
                 box_size, iso, max_active, chunk,
-                lattice_eval_fn=lattice_eval_fn,
+                lattice_eval_fn=lattice_eval_fn, query_dtype=qdt,
             )
         else:
             values = np.asarray(coarse)

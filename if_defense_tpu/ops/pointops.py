@@ -182,7 +182,11 @@ def farthest_point_sample(
     """
     B, N, _ = xyz.shape
     if start_idx is None:
-        if jax.default_backend() == "tpu" and mask is None:
+        # Mosaic rejects the kernel at small/ragged shapes (observed at
+        # B=2, N=128 via DUP-Net: remote compile HTTP 500); gate on
+        # VPU-friendly dims and fall back to the lax path elsewhere
+        if (jax.default_backend() == "tpu" and mask is None
+                and B % 8 == 0 and N % 128 == 0):
             from if_defense_tpu.ops.pallas_fps import fps_pallas
 
             return fps_pallas(xyz, npoint)
