@@ -29,7 +29,8 @@ from if_defense_tpu.data import load_npz, save_npz
 from if_defense_tpu.defense.ifdefense import sample_valid
 from if_defense_tpu.defense.sor import sor_defense
 from if_defense_tpu.implicit import ConvOccupancyNetwork, OccupancyNetwork
-from if_defense_tpu.implicit.generation import generate_meshes, sample_surface
+from if_defense_tpu.implicit.generation import (
+    DEFAULT_PADDING, generate_meshes, sample_surface)
 from if_defense_tpu.ops import normalize_unit_cube
 from if_defense_tpu.parallel import best_data_mesh, replicate, shard_batch
 from if_defense_tpu.utils import MetricsWriter
@@ -181,8 +182,14 @@ def main(argv=None):
             make_convonet_dense_eval,
         )
 
+        # same box the generate_meshes query grid uses (1 + padding)
         dense_fn = make_convonet_dense_eval(
-            model, args.resolution0 * args.upsample, 1.1)
+            model, args.resolution0 * args.upsample, 1.0 + DEFAULT_PADDING)
+        if args.compute_dtype is not None:
+            print("WARNING: --compute_dtype is a no-op on the ConvONet "
+                  "dense-lattice path (evaluation precision is set by the "
+                  "lattice evaluator; use --wire int8 to compact the "
+                  "transfer instead)")
 
     # ONE stable decode_fn for the whole run: eval_points_batched hashes
     # it as a static jit argument, so a per-batch closure would recompile

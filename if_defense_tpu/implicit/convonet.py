@@ -346,9 +346,13 @@ class ConvOccupancyNetwork(nn.Module):
         sel = jnp.asarray(lattice_axis_selector(
             rf, box_size, self.plane_resolution, self.padding))
         out = {}
+        # HIGH precision matches the exact path's bilinear_plane_sample —
+        # on TPU the default would run these selectors in bf16 and the
+        # lattice fast paths would only match exact decode at bf16 noise
+        hi = jax.lax.Precision.HIGH
         for pl, plane in c.items():
-            lat = jnp.einsum("ph,bhwc->bpwc", sel, plane)
-            lat = jnp.einsum("qw,bpwc->bpqc", sel, lat)
+            lat = jnp.einsum("ph,bhwc->bpwc", sel, plane, precision=hi)
+            lat = jnp.einsum("qw,bpwc->bpqc", sel, lat, precision=hi)
             out[pl] = lat                       # [B, Rp(H), Rp(W), C]
         return out
 

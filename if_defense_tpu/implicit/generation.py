@@ -35,6 +35,29 @@ def logit_threshold(threshold: float) -> float:
     return float(np.log(threshold) - np.log(1.0 - threshold))
 
 
+# Default query-box padding shared by every mesh caller (reference:
+# `ONet/im2mesh/onet/generation.py` padding=0.1, box_size = 1 + padding).
+DEFAULT_PADDING = 0.1
+
+
+def quantize_wire_int8(vals_dev, iso: float):
+    """Logits -> int8 wire format (1/16 steps in iso +- 8), on device.
+
+    Rounds AWAY from zero so sign(q) == sign(v - iso) exactly:
+    round-to-nearest would collapse logits in (iso, iso + 1/32] onto iso
+    and flip their occupancy. The single product quantiser — profilers
+    must use this too so profiled topology matches production.
+    """
+    x = jnp.clip((vals_dev - iso) * 16.0, -127, 127)
+    q = jnp.where(x > 0, jnp.ceil(x), jnp.floor(x))
+    return q.astype(jnp.int8)
+
+
+def dequantize_wire_int8(q, iso: float) -> np.ndarray:
+    """Host-side inverse of `quantize_wire_int8` (float32)."""
+    return np.asarray(q).astype(np.float32) / 16.0 + iso
+
+
 def make_grid(resolution: int, box_size: float) -> np.ndarray:
     """[R, R, R, 3] world coordinates, R = resolution + 1 points/axis."""
     g = (np.arange(resolution + 1) / resolution - 0.5) * box_size
@@ -294,7 +317,7 @@ def generate_meshes(
     c,
     *,
     threshold: float = 0.2,
-    padding: float = 0.1,
+    padding: float = DEFAULT_PADDING,
     resolution0: int = 32,
     upsample: int = 4,
     refine: bool = True,
@@ -351,13 +374,8 @@ def generate_meshes(
         # cast to f32 host-side
         vals_dev = dense_eval_fn(variables, c)
         if wire == "int8":
-            # round AWAY from zero so sign(q) == sign(v - iso) exactly:
-            # round-to-nearest would collapse logits in (iso, iso + 1/32]
-            # onto iso and flip their occupancy
-            x = jnp.clip((vals_dev - iso) * 16.0, -127, 127)
-            q = jnp.where(x > 0, jnp.ceil(x), jnp.floor(x))
-            values = (np.asarray(q.astype(jnp.int8)).astype(np.float32)
-                      / 16.0 + iso)
+            values = dequantize_wire_int8(
+                quantize_wire_int8(vals_dev, iso), iso)
         else:
             values = np.asarray(
                 vals_dev.astype(jnp.bfloat16)).astype(np.float32)

@@ -73,7 +73,7 @@ if __name__ == "__main__":
         return model.apply(v, p, c, method="decode")
 
     iso = G.logit_threshold(0.2)
-    box_size = 1.1
+    box_size = 1.0 + G.DEFAULT_PADDING
 
     print(f"mesh profile: B={B} R0={R0} U={U} max_active={args.max_active}")
 
@@ -92,15 +92,16 @@ if __name__ == "__main__":
         # gather-free dense slab evaluation (the ConvONet product path)
         dense_fn = G.make_convonet_dense_eval(model, R0 * U, box_size)
 
+        # reuse the product quantiser (away-from-zero rounding) so the
+        # profiled marching topology matches generate_meshes exactly
         def to_wire(v):
             if args.wire == "int8":
-                return jnp.round(
-                    jnp.clip((v - iso) * 16.0, -127, 127)).astype(jnp.int8)
+                return G.quantize_wire_int8(v, iso)
             return v.astype(jnp.bfloat16)
 
         def from_wire(q):
             if args.wire == "int8":
-                return np.asarray(q).astype(np.float32) / 16.0 + iso
+                return G.dequantize_wire_int8(q, iso)
             return np.asarray(q).astype(np.float32)
 
         vals_dev = to_wire(dense_fn(variables, c))
