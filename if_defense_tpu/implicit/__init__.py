@@ -12,6 +12,7 @@ Both expose the reference model API: `encode_inputs(pc) -> c` and
 """
 
 from if_defense_tpu.implicit.onet import (
+    DECODER_REGISTRY,
     LatentEncoder,
     OccupancyNetwork,
     ResnetPointnet,
@@ -22,8 +23,10 @@ from if_defense_tpu.implicit.convonet import (
     LocalDecoder,
     PatchLocalPoolPointnet,
 )
+from if_defense_tpu.implicit.legacy import FeatureDecoder, VoxelDecoder
 
 __all__ = [
+    "DECODER_REGISTRY",
     "LatentEncoder",
     "OccupancyNetwork",
     "ResnetPointnet",
@@ -31,4 +34,6 @@ __all__ = [
     "LocalPoolPointnet",
     "LocalDecoder",
     "PatchLocalPoolPointnet",
+    "FeatureDecoder",
+    "VoxelDecoder",
 ]

@@ -71,6 +71,38 @@ class CBatchNorm(nn.Module):
         return gamma[:, None, :] * net + beta[:, None, :]
 
 
+class ResnetBlockConv1d(nn.Module):
+    """Unconditional BN ResNet block (`layers.py:110-157`).
+
+    x + fc1(relu(bn1(fc0(relu(bn0(x)))))) with zero-init fc1; used by
+    `DecoderBatchNorm`.
+    """
+
+    size_h: int | None = None
+    size_out: int | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        size_in = x.shape[-1]
+        size_h = self.size_h or size_in
+        size_out = self.size_out or size_in
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                epsilon=1e-5, name=name)
+
+        net = nn.Dense(size_h, name="fc_0")(nn.relu(bn("bn_0")(x)))
+        dx = nn.Dense(
+            size_out, name="fc_1", kernel_init=nn.initializers.zeros
+        )(nn.relu(bn("bn_1")(net)))
+        if size_in == size_out:
+            x_s = x
+        else:
+            x_s = nn.Dense(size_out, use_bias=False, name="shortcut")(x)
+        return x_s + dx
+
+
 class CResnetBlockConv1d(nn.Module):
     """Conditional ResNet block (`layers.py:51-108`).
 

@@ -12,7 +12,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from if_defense_tpu.implicit.layers import CBatchNorm, CResnetBlockConv1d, ResnetBlockFC
+from if_defense_tpu.implicit.layers import (
+    CBatchNorm,
+    CResnetBlockConv1d,
+    ResnetBlockConv1d,
+    ResnetBlockFC,
+)
 
 
 class ResnetPointnet(nn.Module):
@@ -138,9 +143,94 @@ class LatentEncoder(nn.Module):
         return mean, logstd
 
 
+class DecoderCBatchNorm2(nn.Module):
+    """CBN decoder with a configurable block count
+    (`ONet/im2mesh/onet/models/decoder.py:136-182`). Unlike
+    `DecoderCBatchNorm`, z conditions the LATENT (c = c + fc_z(z)), not
+    the point features."""
+
+    hidden_size: int = 256
+    c_dim: int = 128
+    z_dim: int = 0
+    n_blocks: int = 5
+
+    @nn.compact
+    def __call__(self, p, c, z=None, train: bool = False):
+        net = nn.Dense(self.hidden_size, name="conv_p")(p)
+        if self.z_dim:
+            zz = (z if z is not None
+                  else jnp.zeros((net.shape[0], self.z_dim), net.dtype))
+            c = c + nn.Dense(self.c_dim, name="fc_z")(zz)
+        for i in range(self.n_blocks):
+            net = CResnetBlockConv1d(name=f"blocks_{i}")(net, c, train)
+        net = CBatchNorm(self.hidden_size, name="bn")(net, c, train)
+        out = nn.Dense(1, name="conv_out")(nn.relu(net))
+        return out[..., 0]
+
+
+class DecoderCBatchNormNoResnet(nn.Module):
+    """CBN decoder without residual blocks — a plain 5-layer
+    CBN/relu/fc stack (`decoder.py:184-246`)."""
+
+    hidden_size: int = 256
+    z_dim: int = 0
+    leaky: bool = False
+
+    @nn.compact
+    def __call__(self, p, c, z=None, train: bool = False):
+        act = ((lambda x: nn.leaky_relu(x, 0.2)) if self.leaky
+               else nn.relu)
+        net = nn.Dense(self.hidden_size, name="fc_p")(p)
+        if self.z_dim:
+            zz = (z if z is not None
+                  else jnp.zeros((net.shape[0], self.z_dim), net.dtype))
+            net = net + nn.Dense(self.hidden_size, name="fc_z")(zz)[:, None]
+        for i in range(5):
+            net = act(CBatchNorm(
+                self.hidden_size, name=f"bn_{i}")(net, c, train))
+            net = nn.Dense(self.hidden_size, name=f"fc_{i}")(net)
+        net = act(CBatchNorm(self.hidden_size, name="bn_5")(net, c, train))
+        out = nn.Dense(1, name="fc_out")(net)
+        return out[..., 0]
+
+
+class DecoderBatchNorm(nn.Module):
+    """Plain-BN decoder: additive z/c conditioning + 5 BN ResNet blocks
+    (`decoder.py:249-310`)."""
+
+    hidden_size: int = 256
+    c_dim: int = 128
+    z_dim: int = 0
+    leaky: bool = False
+
+    @nn.compact
+    def __call__(self, p, c=None, z=None, train: bool = False):
+        act = ((lambda x: nn.leaky_relu(x, 0.2)) if self.leaky
+               else nn.relu)
+        net = nn.Dense(self.hidden_size, name="fc_p")(p)
+        if self.z_dim:
+            zz = (z if z is not None
+                  else jnp.zeros((net.shape[0], self.z_dim), net.dtype))
+            net = net + nn.Dense(self.hidden_size, name="fc_z")(zz)[:, None]
+        if self.c_dim and c is not None:
+            net = net + nn.Dense(self.hidden_size, name="fc_c")(c)[:, None]
+        for i in range(5):
+            net = ResnetBlockConv1d(name=f"block{i}")(net, train)
+        net = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="bn")(net)
+        out = nn.Dense(1, name="fc_out")(act(net))
+        return out[..., 0]
+
+
+# `ONet/im2mesh/onet/models/__init__.py:12-18`; the legacy voxel/feature
+# decoders (implicit/legacy.py) are unregistered in the reference too.
 DECODER_REGISTRY = {
     "simple": DecoderFC,
     "cbatchnorm": DecoderCBatchNorm,
+    "cbatchnorm2": DecoderCBatchNorm2,
+    "batchnorm": DecoderBatchNorm,
+    "cbatchnorm_noresnet": DecoderCBatchNormNoResnet,
 }
 
 

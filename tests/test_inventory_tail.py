@@ -91,6 +91,59 @@ def test_patch_local_pool_pointnet():
     assert fea2["xz"].shape == (2, R, R, 8)
 
 
+def test_decoder_registry_variants():
+    """All five registry decoders + the two legacy (unregistered)
+    decoders produce finite [B, T] logits and consume z when z_dim > 0
+    (`ONet/im2mesh/onet/models/__init__.py:12-18`, `legacy.py`)."""
+    from if_defense_tpu.implicit import (
+        DECODER_REGISTRY,
+        FeatureDecoder,
+        VoxelDecoder,
+    )
+
+    rng = np.random.default_rng(5)
+    B, T, C, Z = 2, 12, 16, 6
+    p = jnp.asarray(rng.uniform(-0.5, 0.5, (B, T, 3)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(B, C)), jnp.float32)
+    z = jnp.asarray(rng.normal(size=(B, Z)), jnp.float32)
+
+    assert set(DECODER_REGISTRY) == {
+        "simple", "cbatchnorm", "cbatchnorm2", "batchnorm",
+        "cbatchnorm_noresnet"}
+    for name, cls in DECODER_REGISTRY.items():
+        kw = {"z_dim": Z, "hidden_size": 16}
+        if name in ("simple", "cbatchnorm2", "batchnorm"):
+            kw["c_dim"] = C
+        dec = cls(**kw)
+        vars_ = dec.init(jax.random.key(0), p, c, z)
+        out = dec.apply(vars_, p, c, z)
+        assert out.shape == (B, T), name
+        assert np.isfinite(np.asarray(out)).all(), name
+        # z must actually condition the output; perturb away from init
+        # first (zero-init CBN kernels gate the c path at init, so
+        # cbatchnorm2's z->c route is legitimately dead there)
+        leaves, treedef = jax.tree_util.tree_flatten(vars_)
+        keys = jax.random.split(jax.random.key(7), len(leaves))
+        vars_p = jax.tree_util.tree_unflatten(treedef, [
+            x + 0.05 * jax.random.normal(k, x.shape, x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x
+            for x, k in zip(leaves, keys)])
+        out1 = dec.apply(vars_p, p, c, z)
+        out0 = dec.apply(vars_p, p, c, z + 1.0)
+        assert not np.allclose(np.asarray(out1), np.asarray(out0)), name
+
+    vox = VoxelDecoder(z_dim=Z, c_dim=C, hidden_size=16)
+    vars_ = vox.init(jax.random.key(1), p, c, z)
+    out = vox.apply(vars_, p, c, z)
+    assert out.shape == (B, T) and np.isfinite(np.asarray(out)).all()
+
+    cmap = jnp.asarray(rng.normal(size=(B, 8, 8, C)), jnp.float32)
+    fd = FeatureDecoder(z_dim=Z, c_dim=C, hidden_size=16)
+    vars_ = fd.init(jax.random.key(2), p, cmap, z)
+    out = fd.apply(vars_, p, cmap, z)
+    assert out.shape == (B, T) and np.isfinite(np.asarray(out)).all()
+
+
 def _sphere_decode(radius=0.3, sharp=20.0):
     """Analytic occupancy 'model': logits = sharp * (r^2 - |p|^2)."""
 
