@@ -15,7 +15,12 @@ duplication, which matches ragged evaluation after the standard
 
 Numerics: the reference computes distances in float64 with a >= -1e-6
 assert. TPU f64 is emulated and slow; we use f32 matmuls at HIGHEST
-precision, which keeps the k=2-NN statistics stable at ModelNet scales.
+precision. Bound vs a float64 oracle (tests/test_sor_numerics.py): exact
+inlier-set agreement on ModelNet-like clouds; on adversarial
+near-duplicate inputs (1e-3 structure on O(1) coordinates) any
+disagreement is confined to points within 1e-6 absolute / 1e-3 relative
+of the mu + alpha*sigma threshold, <= 1% of points per cloud, and the
+statistic itself stays within 2e-6 of float64 at ModelNet scales.
 """
 
 from __future__ import annotations
