@@ -120,6 +120,7 @@ def main(argv=None):
     eval_step = make_eval_step(model)
 
     best_acc, best_epoch = 0.0, 0
+    best_def_acc, best_def_epoch = 0.0, 0
     dropout_rng = jax.random.key(args.seed + 1)
     for epoch in range(start_epoch, args.epochs + 1):
         loss_meter, acc_meter = AverageMeter(), AverageMeter()
@@ -140,16 +141,29 @@ def main(argv=None):
                 "train_acc": acc_meter.avg, "test_acc": acc,
                 "epoch_time": time.time() - t0,
             }
+            def_acc = None
             if def_test_ds is not None:
-                record["def_test_acc"] = evaluate(
+                def_acc = evaluate(
                     eval_step, state, def_test_ds, args.batch_size, mesh)
+                record["def_test_acc"] = def_acc
             metrics.write(**record)
             if acc > best_acc:
                 best_acc, best_epoch = acc, epoch
+            if def_acc is not None and def_acc > best_def_acc:
+                best_def_acc, best_def_epoch = def_acc, epoch
+            # hybrid training snapshots the BEST checkpoint by DEFENDED
+            # accuracy (`baselines/hybrid_train.py:130-135`); clean
+            # training by ori accuracy (`train.py:121-124`)
+            is_best = (def_acc is not None and best_def_epoch == epoch
+                       if def_test_ds is not None
+                       else best_epoch == epoch)
+            if is_best:
                 save_checkpoint(
                     os.path.join(args.output, "best"),
                     state,
                     {"model": args.model, "epoch": epoch, "acc": acc,
+                     **({"def_acc": def_acc} if def_acc is not None
+                        else {}),
                      "num_points": args.num_points},
                 )
         else:
@@ -161,14 +175,18 @@ def main(argv=None):
         {"model": args.model, "epoch": args.epochs,
          "num_points": args.num_points},
     )
-    if best_epoch > 0:
+    if best_epoch > 0 or best_def_epoch > 0:
         from if_defense_tpu.utils.registry import register_checkpoint
 
         register_checkpoint(
             os.path.basename(args.data).replace(".npz", ""), args.model,
             os.path.join(args.output, "best"), args.num_points,
             path=args.registry)
-    metrics.write(best_acc=best_acc, best_epoch=best_epoch)
+    final = {"best_acc": best_acc, "best_epoch": best_epoch}
+    if def_test_ds is not None:
+        final.update(best_def_acc=best_def_acc,
+                     best_def_epoch=best_def_epoch)
+    metrics.write(**final)
     return best_acc
 
 

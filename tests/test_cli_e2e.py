@@ -78,6 +78,27 @@ def chain(tmp_path_factory):
         "--sample_npoint", "64", "--wire", "int8",
     ])
 
+    # hybrid training: defend the CLEAN npz (train + test) to build the
+    # defended half of the ModelNet40Hybrid concat, then hybrid_train
+    # (reference protocol: opt_defense --train -> hybrid_train.py)
+    hyb_src, = opt_main([
+        "--variant", "convonet", "--data_root", data,
+        "--weights", weights, "--iterations", "2",
+        "--sample_npoint", str(N_POINTS), "--batch_size", str(BATCH),
+        "--train",
+    ])
+
+    from if_defense_tpu.cli.hybrid_train import main as hybrid_main
+
+    hyb_dir = str(out / "hybrid")
+    hybrid_main([
+        "--data", data, "--def_data", hyb_src, "--model", "pointnet",
+        "--num_points", str(N_POINTS), "--epochs", "4",
+        "--batch_size", str(BATCH), "--eval_every", "2",
+        "--output", hyb_dir,
+        "--registry", str(out / "hyb_registry.json"),
+    ])
+
     from if_defense_tpu.cli.inference import main as inf_main
 
     def acc_of(path, ckpt_arg=ckpt, extra=()):
@@ -91,7 +112,7 @@ def chain(tmp_path_factory):
         out=out, data=data, ckpt=ckpt, registry=registry,
         best_acc=best_acc, adv_path=adv_path, attack_rate=attack_rate,
         sor_path=sor_path, opt_path=opt_path, mesh_path=mesh_path,
-        acc_of=acc_of,
+        hyb_src=hyb_src, hyb_dir=hyb_dir, acc_of=acc_of,
     )
 
 
@@ -144,6 +165,70 @@ def test_opt_defense_output(chain):
     # random implicit weights: only the mechanics are asserted
     r = chain["acc_of"](chain["opt_path"])
     assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_hybrid_train_tracks_ori_and_def_accuracy(chain):
+    """hybrid_train evaluates the clean and defended test subsets
+    SEPARATELY every eval epoch and snapshots the best checkpoint by
+    DEFENDED accuracy (`baselines/hybrid_train.py:100-135`)."""
+    d = np.load(chain["hyb_src"])
+    assert {"train_pc", "train_label", "test_pc", "test_label"} <= set(
+        d.files)
+
+    metrics = os.path.join(chain["hyb_dir"], "metrics.jsonl")
+    lines = [json.loads(l) for l in open(metrics)]
+    evals = [l for l in lines if "test_acc" in l]
+    assert evals and all("def_test_acc" in l for l in evals)
+    final = lines[-1]
+    assert {"best_acc", "best_def_acc", "best_epoch",
+            "best_def_epoch"} <= set(final)
+    assert final["best_def_acc"] == max(l["def_test_acc"] for l in evals)
+    # the snapshot is the best-def epoch's checkpoint
+    ckpt = os.path.join(chain["hyb_dir"], "best")
+    assert os.path.isdir(ckpt)
+    import orbax.checkpoint  # noqa: F401 — exercised via inference below
+
+    r = chain["acc_of"](chain["data"], ckpt_arg=ckpt)
+    assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_hybrid_train_requires_def_data():
+    from if_defense_tpu.cli.hybrid_train import main as hybrid_main
+
+    with pytest.raises(SystemExit):
+        hybrid_main(["--data", "x.npz", "--model", "pointnet"])
+
+
+def test_train_implicit_cli_smoke(tmp_path):
+    """train_implicit's MAIN runs on a synthetic occupancy npz and writes
+    loadable weights + metrics (role of the reference's ONet training
+    producing `pretrain/*.pth`)."""
+    rng = np.random.default_rng(0)
+    n, p, q = 8, 64, 128
+    pc = rng.normal(size=(n, p, 3)).astype(np.float32)
+    pc /= np.linalg.norm(pc, axis=-1, keepdims=True) * 3.0
+    pts = rng.uniform(-0.55, 0.55, (n, q, 3)).astype(np.float32)
+    occ = (np.linalg.norm(pts, axis=-1) < 1 / 3).astype(np.float32)
+    occ_npz = str(tmp_path / "occ.npz")
+    np.savez(occ_npz, pointcloud=pc, points=pts, points_occ=occ)
+
+    from if_defense_tpu.cli.train_implicit import main as ti_main
+
+    out = str(tmp_path / "conv")
+    w = ti_main([
+        "--variant", "convonet", "--data", occ_npz, "--steps", "4",
+        "--batch_size", "4", "--pointcloud_n", "32",
+        "--points_subsample", "64", "--log_every", "2",
+        "--save_every", "4", "--output", out,
+    ])
+    assert os.path.exists(w)
+    m = [json.loads(l) for l in open(out + ".metrics.jsonl")]
+    assert m and {"step", "loss", "acc"} <= set(m[-1])
+
+    from if_defense_tpu.utils.params_io import load_params_npz
+
+    variables = load_params_npz(w)
+    assert "params" in variables
 
 
 def test_remesh_defense_output(chain):
