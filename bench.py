@@ -16,12 +16,17 @@ unfused kernels reach, plus per-iteration Python/launch overhead — ~8 s
 per batch. vs_baseline = measured / 24.0. The BASELINE.md target of a
 >=20x per-cloud speedup therefore corresponds to vs_baseline >= 20.
 
-Precision: the loop runs with compute_dtype=bfloat16 (f32 master points
-and Adam state) — measured accuracy-neutral against full f32 on the
-synthetic end-to-end benchmark (92.8%% vs 91.6%% defended accuracy, noise)
-at 1.67x the throughput; pass --f32 for the bit-conservative mode.
+Precision: the headline `value` runs the fast path (compute_dtype=
+bfloat16 with f32 master points/Adam state + corner-cache interpolation
+R=16); EVERY run also measures the f32-exact reference-numerics mode and
+reports it as `value_f32`, so round-over-round progress is
+mode-comparable (VERDICT r2 item 2). Accuracy of the fast path vs exact
+is validated on the discriminative hard-family benchmark
+(RESULTS_DISCRIM.md). Pass --f32 to make the exact mode the only
+measurement.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"value_f32", "vs_baseline_f32", "anchor_note"}.
 """
 
 import argparse
@@ -79,33 +84,40 @@ def main():
         rng.uniform(-0.45, 0.45, (2, inp, 3)), jnp.float32)
     variables = model.init(jax.random.key(0), init_pc, init_pc)
 
-    defend = convonet_opt_defense(
-        model, variables,
-        iterations=iters, input_npoint=inp, sample_npoint=samp,
-        compute_dtype=None if args.f32 else "bfloat16",
-        interp_refresh=1 if args.f32 else args.interp_refresh,
-    )
-
     pc = jnp.asarray(rng.normal(size=(B, K, 3)) * 0.3, jnp.float32)
     key = jax.random.key(1)
 
-    # compile + warmup; sync via a scalar host fetch — on the axon tunnel
-    # block_until_ready() returns before remote execution finishes
-    out = defend(pc, key)
-    float(out[0, 0, 0])
+    def measure(compute_dtype, interp_refresh):
+        defend = convonet_opt_defense(
+            model, variables,
+            iterations=iters, input_npoint=inp, sample_npoint=samp,
+            compute_dtype=compute_dtype, interp_refresh=interp_refresh,
+        )
+        # compile + warmup; sync via a scalar host fetch — on the axon
+        # tunnel block_until_ready() returns before remote execution ends
+        out = defend(pc, key)
+        float(out[0, 0, 0])
+        t0 = time.time()
+        for i in range(args.num_batches):
+            out = defend(pc, jax.random.fold_in(key, i))
+        float(out[0, 0, 0])
+        return args.num_batches * B / (time.time() - t0)
 
-    t0 = time.time()
-    for i in range(args.num_batches):
-        out = defend(pc, jax.random.fold_in(key, i))
-    float(out[0, 0, 0])
-    dt = time.time() - t0
+    f32_cps = measure(None, 1)
+    fast_cps = (f32_cps if args.f32
+                else measure("bfloat16", args.interp_refresh))
 
-    clouds_per_sec = args.num_batches * B / dt
     print(json.dumps({
         "metric": "convonet_opt_clouds_per_sec",
-        "value": round(clouds_per_sec, 2),
+        "value": round(fast_cps, 2),
         "unit": "clouds/s",
-        "vs_baseline": round(clouds_per_sec / REFERENCE_CLOUDS_PER_SEC, 2),
+        "vs_baseline": round(fast_cps / REFERENCE_CLOUDS_PER_SEC, 2),
+        # exact reference numerics (f32, interpolation every step),
+        # measured EVERY run so the two modes stay comparable over rounds
+        "value_f32": round(f32_cps, 2),
+        "vs_baseline_f32": round(f32_cps / REFERENCE_CLOUDS_PER_SEC, 2),
+        "anchor_note": "vs_baseline anchor ~24 clouds/s is a V100 FLOP "
+                       "model with ~2x error bars (bench.py docstring)",
     }))
 
 

@@ -1,0 +1,287 @@
+"""Discriminative accuracy benchmark: attack x victim x defense matrix.
+
+Runs the reference's evaluation protocol (`baselines/command.txt`,
+Tables 2-5: attack -> defend -> classify) on the HARD synthetic family
+(tools/synthetic_dataset.py, four confusable shape pairs) where SOR does
+NOT trivially solve the attack — the benchmark VERDICT r2 item 1 asked
+for. Supports multiple seeds for error bars and the ConvONet-Opt fast-path
+modes (f32-exact / bf16 / bf16 + corner-cache R) so the bench defaults'
+accuracy cost is resolvable.
+
+Per seed: generate data -> train victim(s) -> train implicit net(s) ->
+run each attack through the CLI -> run each defense on each adversarial
+npz -> score everything with the inference CLI. Writes
+<out_dir>/seed<k>/results.json and an aggregated <out_dir>/summary.json.
+
+Usage (discriminative benchmark):
+    python tools/accuracy_benchmark.py --out_dir /tmp/acc --seeds 0 1 2 \
+        --attacks knn drop perturb --defenses none sor convonet_opt \
+        --opt_modes f32 bf16 bf16_r8 bf16_r16 bf16_r32
+
+Usage (full product matrix, one seed):
+    python tools/accuracy_benchmark.py --out_dir /tmp/matrix --seeds 0 \
+        --victims pointnet pointnet2 \
+        --attacks perturb add add_cluster add_object knn fgm ifgm mifgm \
+                  pgd drop \
+        --defenses sor srs dup onet_opt convonet_opt convonet_mesh \
+                   onet_mesh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OPT_MODE_FLAGS = {
+    "f32": [],
+    "bf16": ["--compute_dtype", "bfloat16"],
+    "bf16_r8": ["--compute_dtype", "bfloat16", "--interp_refresh", "8"],
+    "bf16_r16": ["--compute_dtype", "bfloat16", "--interp_refresh", "16"],
+    "bf16_r32": ["--compute_dtype", "bfloat16", "--interp_refresh", "32"],
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out_dir", default="/tmp/acc_bench")
+    p.add_argument("--seeds", type=int, nargs="+", default=[0])
+    p.add_argument("--victims", nargs="+", default=["pointnet"])
+    p.add_argument("--attacks", nargs="+",
+                   default=["knn", "drop", "perturb"])
+    p.add_argument("--defenses", nargs="+",
+                   default=["none", "sor", "convonet_opt"])
+    p.add_argument("--opt_modes", nargs="+", default=["bf16_r16"],
+                   help="ConvONet-Opt precision/fast-path modes "
+                        f"({sorted(OPT_MODE_FLAGS)})")
+    p.add_argument("--family", default="hard", choices=["easy", "hard"])
+    p.add_argument("--train_per_class", type=int, default=150)
+    p.add_argument("--test_per_class", type=int, default=40)
+    p.add_argument("--occ_per_class", type=int, default=60)
+    p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--occ_steps", type=int, default=4000)
+    p.add_argument("--defense_iters", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=40)
+    p.add_argument("--knn_iter", type=int, default=1500)
+    p.add_argument("--cw_steps", type=int, nargs=2, default=[8, 300],
+                   help="CW binary steps / iters for perturb-family")
+    p.add_argument("--num_drop", type=int, default=200)
+    p.add_argument("--fast", action="store_true",
+                   help="tiny sizes for smoke iteration")
+    return p.parse_args(argv)
+
+
+def run_seed(args, seed: int) -> dict:
+    from if_defense_tpu.cli.attack import main as attack_main
+    from if_defense_tpu.cli.defend_npz import main as defend_main
+    from if_defense_tpu.cli.inference import main as inf_main
+    from if_defense_tpu.cli.opt_defense import main as opt_main
+    from if_defense_tpu.cli.remesh_defense import main as remesh_main
+    from if_defense_tpu.cli.train import main as train_main
+    from if_defense_tpu.cli.train_implicit import main as timpl_main
+    from tools.synthetic_dataset import main as make_data
+
+    sd = os.path.join(args.out_dir, f"seed{seed}")
+    os.makedirs(sd, exist_ok=True)
+    results = {"seed": seed, "victims": {}}
+
+    if args.fast:
+        tpc, tec, opc = 30, 10, 20
+        epochs, occ_steps, d_iters = 8, 300, 20
+        knn_iter, cw_steps, num_drop = 100, (2, 40), 32
+    else:
+        tpc, tec, opc = args.train_per_class, args.test_per_class, \
+            args.occ_per_class
+        epochs, occ_steps, d_iters = args.epochs, args.occ_steps, \
+            args.defense_iters
+        knn_iter, cw_steps = args.knn_iter, tuple(args.cw_steps)
+        num_drop = args.num_drop
+
+    cls_npz, occ_npz = make_data([
+        "--out_dir", sd, "--family", args.family,
+        "--train_per_class", str(tpc), "--test_per_class", str(tec),
+        "--occ_per_class", str(opc), "--num_points", str(args.num_points),
+        "--seed", str(seed),
+    ])
+
+    # implicit nets (shared across victims)
+    implicit_weights = {}
+    need_conv = any(d.startswith("convonet") for d in args.defenses)
+    need_onet = any(d.startswith("onet") for d in args.defenses)
+    for variant, needed in (("convonet", need_conv), ("onet", need_onet)):
+        if not needed:
+            continue
+        implicit_weights[variant] = timpl_main([
+            "--variant", variant, "--data", occ_npz,
+            "--steps", str(occ_steps), "--batch_size", "16",
+            "--log_every", str(max(occ_steps // 10, 1)),
+            "--save_every", str(occ_steps),
+            "--seed", str(seed),
+            "--output", os.path.join(sd, f"{variant}_w"),
+        ])
+
+    def defended_paths(adv_path, victim_ckpt):
+        """name -> defended npz path for every requested defense."""
+        out = {}
+        for d in args.defenses:
+            if d == "none":
+                out["none"] = adv_path
+            elif d in ("srs", "sor", "dup"):
+                path, = defend_main([
+                    "--data_root", adv_path, "--defense", d,
+                    "--batch_size", str(args.batch_size)])
+                out[d] = path
+            elif d in ("convonet_opt", "onet_opt"):
+                variant = d.split("_")[0]
+                modes = args.opt_modes if variant == "convonet" else ["f32"]
+                for mode in modes:
+                    path, = opt_main([
+                        "--variant", variant, "--data_root", adv_path,
+                        "--weights", implicit_weights[variant],
+                        "--iterations", str(d_iters),
+                        "--batch_size", str(args.batch_size),
+                        "--seed", str(seed),
+                        *OPT_MODE_FLAGS[mode],
+                    ])
+                    key = d if len(modes) == 1 else f"{d}:{mode}"
+                    out[key] = path
+                    if len(modes) > 1:
+                        # distinct copies: opt_main overwrites per variant
+                        keyed = path.replace(".npz", f".{mode}.npz")
+                        os.replace(path, keyed)
+                        out[key] = keyed
+            elif d in ("convonet_mesh", "onet_mesh"):
+                variant = d.split("_")[0]
+                path, = remesh_main([
+                    "--variant", variant, "--data_root", adv_path,
+                    "--weights", implicit_weights[variant],
+                    "--batch_size", str(args.batch_size),
+                    "--seed", str(seed),
+                    *(["--resolution0", "16", "--upsample", "2"]
+                      if args.fast else []),
+                ])
+                out[d] = path
+            else:
+                raise ValueError(d)
+        return out
+
+    for victim in args.victims:
+        vdir = os.path.join(sd, victim)
+        t0 = time.time()
+        clean_best = train_main([
+            "--data", cls_npz, "--model", victim,
+            "--num_points", str(args.num_points), "--epochs", str(epochs),
+            "--batch_size", "32", "--eval_every", str(max(epochs // 8, 1)),
+            "--output", vdir, "--seed", str(seed),
+        ])
+        ckpt = os.path.join(vdir, "best")
+        vres = {"clean_accuracy": clean_best,
+                "train_seconds": time.time() - t0, "attacks": {}}
+
+        def acc_of(path, num_points=None):
+            r = inf_main([
+                "--data", path, "--checkpoint", ckpt,
+                "--num_points", str(num_points or args.num_points),
+                "--batch_size", str(args.batch_size), "--mode", "target"])
+            return r
+
+        for attack in args.attacks:
+            extra = []
+            if attack == "perturb":
+                extra = ["--binary_step", str(cw_steps[0]),
+                         "--num_iter", str(cw_steps[1])]
+            elif attack in ("add", "add_cluster", "add_object"):
+                extra = ["--binary_step",
+                         str(max(cw_steps[0] // 2, 1)),
+                         "--num_iter", str(cw_steps[1])]
+            elif attack == "knn":
+                extra = ["--num_iter", str(knn_iter)]
+            elif attack == "drop":
+                extra = ["--num_drop", str(num_drop)]
+            t0 = time.time()
+            adv_path, rate = attack_main([
+                "--attack", attack, "--data", cls_npz,
+                "--checkpoint", ckpt,
+                "--num_points", str(args.num_points),
+                "--batch_size", str(args.batch_size),
+                "--seed", str(seed),
+                "--output", os.path.join(
+                    vdir, f"{attack}-{victim}.npz"),
+                *extra,
+            ])
+            ares = {"success_rate": rate,
+                    "attack_seconds": time.time() - t0}
+            # Add-family outputs carry extra points
+            n_pts = np.load(adv_path)["test_pc"].shape[1]
+            ares["attacked"] = acc_of(adv_path, n_pts)
+            ares["defended"] = {}
+            for name, path in defended_paths(adv_path, ckpt).items():
+                dn = np.load(path)["test_pc"].shape[1]
+                t0 = time.time()
+                r = acc_of(path, dn)
+                r["eval_seconds"] = time.time() - t0
+                ares["defended"][name] = r
+            vres["attacks"][attack] = ares
+            print(f"[seed {seed}] {victim} x {attack}: "
+                  f"success {rate:.3f}, attacked "
+                  f"{ares['attacked']['accuracy']:.3f}, defended "
+                  + ", ".join(f"{k} {v['accuracy']:.3f}"
+                              for k, v in ares["defended"].items()),
+                  flush=True)
+        results["victims"][victim] = vres
+
+    with open(os.path.join(sd, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return results
+
+
+def aggregate(all_results: list[dict]) -> dict:
+    """mean/std of every accuracy cell across seeds."""
+    out = {}
+
+    def walk(res):
+        cells = {}
+        for victim, vres in res["victims"].items():
+            cells[f"{victim}/clean"] = vres["clean_accuracy"]
+            for attack, ares in vres["attacks"].items():
+                base = f"{victim}/{attack}"
+                cells[f"{base}/success_rate"] = ares["success_rate"]
+                cells[f"{base}/attacked"] = ares["attacked"]["accuracy"]
+                for d, r in ares["defended"].items():
+                    cells[f"{base}/{d}"] = r["accuracy"]
+        return cells
+
+    per_seed = [walk(r) for r in all_results]
+    keys = sorted(set().union(*[set(c) for c in per_seed]))
+    for k in keys:
+        vals = [c[k] for c in per_seed if k in c]
+        out[k] = {"mean": float(np.mean(vals)),
+                  "std": float(np.std(vals, ddof=1)) if len(vals) > 1
+                  else 0.0,
+                  "n": len(vals)}
+    return out
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    all_results = []
+    for seed in args.seeds:
+        all_results.append(run_seed(args, seed))
+    summary = aggregate(all_results)
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    for k, v in summary.items():
+        print(f"{k:55s} {v['mean']:.4f} +- {v['std']:.4f} (n={v['n']})")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

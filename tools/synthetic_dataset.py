@@ -25,6 +25,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CLASSES = ["sphere", "box", "cylinder", "torus", "cone", "capsule",
            "ellipsoid", "cross"]
 
+# The HARD family: four confusable pairs that differ only in fine-scale
+# geometry (boxiness exponent, barrel bulge, edge rounding, tube
+# ellipticity). Built so adversarial perturbations at CW/kNN budgets can
+# flip the pair decision, and so surface-restoring defenses (IF-Defense)
+# have headroom over outlier removal (SOR) — the discriminative benchmark
+# VERDICT r2 asked for. Every class has a smooth inside-function f (f < 0
+# inside) giving exact occupancy AND analytic-quality normals (central
+# differences of f), which the kNN attack's normal-projection clipping
+# requires (`baselines/attack/CW/kNN.py:115-116`).
+HARD_CLASSES = ["sphere", "superellipsoid", "cylinder", "barrel",
+                "box", "roundbox", "torus", "elltorus"]
+
 
 def _unit_dirs(rng, n):
     d = rng.normal(size=(n, 3))
@@ -144,6 +156,94 @@ def _occupancy(cls: str, params: dict, q: np.ndarray) -> np.ndarray:
     raise ValueError(cls)
 
 
+def _hard_params(cls: str, rng) -> dict:
+    """Randomised shape parameters; pair members share distributions so
+    only the fine-scale geometry separates them."""
+    if cls in ("sphere", "superellipsoid"):
+        return {"r": rng.uniform(0.55, 0.95),
+                "p": 2.0 if cls == "sphere" else rng.uniform(3.2, 4.0)}
+    if cls in ("cylinder", "barrel"):
+        return {"r": rng.uniform(0.35, 0.6), "h": rng.uniform(0.55, 0.95),
+                "bulge": 0.0 if cls == "cylinder"
+                else rng.uniform(0.15, 0.25)}
+    if cls in ("box", "roundbox"):
+        half = rng.uniform(0.4, 0.8, 3)
+        return {"half": half,
+                "rho": 0.0 if cls == "box" else 0.3 * half.min()}
+    if cls in ("torus", "elltorus"):
+        a = rng.uniform(0.16, 0.28)
+        return {"R": rng.uniform(0.55, 0.8),
+                "ar": a if cls == "torus" else 0.65 * a,
+                "ay": a if cls == "torus" else 1.5 * a}
+    raise ValueError(cls)
+
+
+def _hard_f(cls: str, params: dict, q: np.ndarray) -> np.ndarray:
+    """Smooth inside-function, f(q) < 0 inside the shape. [*, 3] -> [*]."""
+    x, y, z = q[..., 0], q[..., 1], q[..., 2]
+    if cls in ("sphere", "superellipsoid"):
+        p = params["p"]
+        s = (np.abs(x) ** p + np.abs(y) ** p + np.abs(z) ** p)
+        return s ** (1.0 / p) - params["r"]
+    if cls in ("cylinder", "barrel"):
+        r, h, bulge = params["r"], params["h"], params["bulge"]
+        rr = r * (1.0 + bulge * (1.0 - np.clip(y / h, -1, 1) ** 2))
+        return np.maximum(np.sqrt(x**2 + z**2) - rr, np.abs(y) - h)
+    if cls in ("box", "roundbox"):
+        half, rho = params["half"], params["rho"]
+        d = np.abs(q) - half + rho
+        outside = np.sqrt((np.maximum(d, 0.0) ** 2).sum(-1))
+        inside = np.minimum(d.max(-1), 0.0)
+        return outside + inside - rho
+    if cls in ("torus", "elltorus"):
+        R, ar, ay = params["R"], params["ar"], params["ay"]
+        ring = np.sqrt(x**2 + z**2) - R
+        return np.sqrt((ring / ar) ** 2 + (y / ay) ** 2) - 1.0
+    raise ValueError(cls)
+
+
+def _hard_normals(cls: str, params: dict, p: np.ndarray,
+                  h: float = 1e-4) -> np.ndarray:
+    """Outward unit normals from central differences of f, [N, 3]."""
+    g = np.zeros_like(p)
+    for ax in range(3):
+        dp = np.zeros((1, 3))
+        dp[0, ax] = h
+        g[:, ax] = (_hard_f(cls, params, p + dp)
+                    - _hard_f(cls, params, p - dp)) / (2 * h)
+    n = np.linalg.norm(g, axis=-1, keepdims=True)
+    return g / np.maximum(n, 1e-12)
+
+
+def _hard_surface(cls: str, n: int, rng) -> tuple[np.ndarray, dict]:
+    """Sample n surface points of a randomised hard-family shape.
+
+    Star-shaped classes: bisection of f along random rays from the
+    origin. Tori: closed-form parameterisation (not star-shaped).
+    """
+    params = _hard_params(cls, rng)
+    if cls in ("torus", "elltorus"):
+        R, ar, ay = params["R"], params["ar"], params["ay"]
+        u = rng.uniform(0, 2 * np.pi, n)
+        v = rng.uniform(0, 2 * np.pi, n)
+        p = np.stack([
+            (R + ar * np.cos(v)) * np.cos(u),
+            ay * np.sin(v),
+            (R + ar * np.cos(v)) * np.sin(u),
+        ], 1)
+        return p, params
+    d = _unit_dirs(rng, n)
+    lo = np.zeros(n)
+    hi = np.full(n, 3.0)
+    for _ in range(40):                      # bisect f(t * d) = 0
+        mid = 0.5 * (lo + hi)
+        inside = _hard_f(cls, params, mid[:, None] * d) < 0
+        lo = np.where(inside, mid, lo)
+        hi = np.where(inside, hi, mid)
+    t = 0.5 * (lo + hi)
+    return t[:, None] * d, params
+
+
 def _normalize(pc: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
     c = pc.mean(0)
     pc = pc - c
@@ -152,22 +252,31 @@ def _normalize(pc: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
 
 
 def make_classification_npz(out_path, train_per_class, test_per_class,
-                            num_points, seed=0):
+                            num_points, seed=0, family="easy"):
+    """ModelNet40-schema npz. The hard family writes test_pc with xyz +
+    unit normals ([M, K, 6] — the `ModelNet40Normal*` schema the kNN
+    attack consumes); normals stay valid under the unit-sphere
+    normalisation (pure translate + uniform scale)."""
+    classes = HARD_CLASSES if family == "hard" else CLASSES
+    surface = _hard_surface if family == "hard" else _surface
     rng = np.random.default_rng(seed)
     train_pc, train_label, test_pc, test_label = [], [], [], []
-    for ci, cls in enumerate(CLASSES):
+    for ci, cls in enumerate(classes):
         for split, count, pcs, labels in (
             ("train", train_per_class, train_pc, train_label),
             ("test", test_per_class, test_pc, test_label),
         ):
             for _ in range(count):
-                p, _ = _surface(cls, num_points, rng)
-                p, _, _ = _normalize(p)
-                pcs.append(p.astype(np.float32))
+                p, params = surface(cls, num_points, rng)
+                pn, _, _ = _normalize(p)
+                if family == "hard" and split == "test":
+                    nrm = _hard_normals(cls, params, p)
+                    pn = np.concatenate([pn, nrm], axis=-1)
+                pcs.append(pn.astype(np.float32))
                 labels.append(ci)
     n_test = len(test_label)
     target = (np.array(test_label) + rng.integers(
-        1, len(CLASSES), n_test)) % len(CLASSES)
+        1, len(classes), n_test)) % len(classes)
     np.savez_compressed(
         out_path,
         train_pc=np.stack(train_pc), train_label=np.array(train_label,
@@ -179,19 +288,24 @@ def make_classification_npz(out_path, train_per_class, test_per_class,
 
 
 def make_occupancy_npz(out_path, per_class, surface_n, query_n,
-                       padding=0.1, seed=1):
+                       padding=0.1, seed=1, family="easy"):
+    classes = HARD_CLASSES if family == "hard" else CLASSES
+    surface = _hard_surface if family == "hard" else _surface
+    occupancy = (
+        (lambda cls, params, q: _hard_f(cls, params, q) < 0)
+        if family == "hard" else _occupancy)
     rng = np.random.default_rng(seed)
     pcs, qs, occs, labels = [], [], [], []
-    for ci, cls in enumerate(CLASSES):
+    for ci, cls in enumerate(classes):
         for _ in range(per_class):
-            p, params = _surface(cls, surface_n, rng)
+            p, params = surface(cls, surface_n, rng)
             # normalise to the ONet unit-cube convention (max extent 1)
             center = (p.max(0) + p.min(0)) / 2
             scale = (p.max(0) - p.min(0)).max()
             pn = (p - center) / scale
             q = rng.uniform(-0.5 * (1 + padding), 0.5 * (1 + padding),
                             (query_n, 3)).astype(np.float32)
-            occ = _occupancy(cls, params, q * scale + center)
+            occ = occupancy(cls, params, q * scale + center)
             pcs.append(pn.astype(np.float32))
             qs.append(q)
             occs.append(occ)
@@ -215,15 +329,18 @@ def main(argv=None):
     p.add_argument("--surface_n", type=int, default=2048)
     p.add_argument("--query_n", type=int, default=4096)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--family", default="easy", choices=["easy", "hard"])
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
+    stem = "synth8" if args.family == "easy" else "hard8"
     cls_path = make_classification_npz(
-        os.path.join(args.out_dir, "synth8.npz"),
+        os.path.join(args.out_dir, f"{stem}.npz"),
         args.train_per_class, args.test_per_class, args.num_points,
-        args.seed)
+        args.seed, family=args.family)
     occ_path = make_occupancy_npz(
-        os.path.join(args.out_dir, "synth8_occ.npz"),
-        args.occ_per_class, args.surface_n, args.query_n, seed=args.seed + 1)
+        os.path.join(args.out_dir, f"{stem}_occ.npz"),
+        args.occ_per_class, args.surface_n, args.query_n,
+        seed=args.seed + 1, family=args.family)
     print(f"wrote {cls_path} and {occ_path}")
     return cls_path, occ_path
 
