@@ -62,13 +62,21 @@ def repulsion_loss_auto(
     gradient in VMEM distance tiles, with EXACT k-nearest selection —
     tighter than this module's default approx_max_k path. Elsewhere it
     falls back to the XLA formulation.
+
+    IFDEF_FORCE_FUSED_REPULSION=1 forces the fused kernel on any backend
+    (interpret mode off-TPU) so CPU-mesh SPMD tests exercise the SAME
+    code path the TPU bench configuration runs
+    (tests/test_multidevice.py).
     """
+    import os
+
     from if_defense_tpu.ops.pallas_repulsion import (
         fused_repulsion_loss,
         fused_repulsion_supported,
     )
 
-    if (jax.default_backend() == "tpu"
+    forced = bool(os.environ.get("IFDEF_FORCE_FUSED_REPULSION"))
+    if ((jax.default_backend() == "tpu" or forced)
             and fused_repulsion_supported(pc.shape[1])):
         return fused_repulsion_loss(pc, nn_size, radius, h, eps)
     return repulsion_loss(pc, nn_size, radius, h, eps)
