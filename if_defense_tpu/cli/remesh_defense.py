@@ -30,7 +30,12 @@ from if_defense_tpu.defense.ifdefense import sample_valid
 from if_defense_tpu.defense.sor import sor_defense
 from if_defense_tpu.implicit import ConvOccupancyNetwork, OccupancyNetwork
 from if_defense_tpu.implicit.generation import (
-    DEFAULT_PADDING, generate_meshes, sample_surface)
+    DEFAULT_PADDING,
+    compute_value_grids,
+    generate_meshes,
+    sample_surface,
+    sample_value_grid,
+)
 from if_defense_tpu.ops import normalize_unit_cube
 from if_defense_tpu.parallel import best_data_mesh, replicate, shard_batch
 from if_defense_tpu.utils import MetricsWriter
@@ -64,6 +69,13 @@ def parse_args(argv=None):
     p.add_argument("--wire", default="bf16", choices=["bf16", "int8"],
                    help="dense-path device->host value format (int8 "
                         "halves the transfer; vertex shift <= 1 quantum)")
+    p.add_argument("--sample_mode", default="direct",
+                   choices=["direct", "mesh"],
+                   help="direct = fused native marching+sampling (no "
+                        "indexed mesh, ~8x faster host side, identical "
+                        "surface geometry); mesh = build the indexed "
+                        "mesh then area-sample it (reference shape: "
+                        "`ONet/remesh_defense.py:151-171`)")
     return p.parse_args(argv)
 
 
@@ -102,20 +114,37 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
 
     c = encode_fn(variables, sel)
 
-    meshes = generate_meshes(
-        decode_fn, variables, c,
+    gen_kwargs = dict(
         threshold=args.threshold, resolution0=args.resolution0,
         upsample=args.upsample, dense_eval_fn=dense_fn, wire=args.wire,
         compute_dtype=args.compute_dtype,
     )
 
+    def sample_cloud_fns():
+        """Yield one sampling callable per cloud (raises ValueError on a
+        degenerate surface)."""
+        if args.sample_mode == "direct":
+            values, iso = compute_value_grids(
+                decode_fn, variables, c, **gen_kwargs)
+            box = 1.0 + DEFAULT_PADDING
+            for b in range(B):
+                yield (lambda vb=values[b], s=b: sample_value_grid(
+                    vb, iso, box, args.sample_npoint,
+                    seed=int(rng.integers(2**62)) + s))
+        else:
+            meshes = generate_meshes(decode_fn, variables, c,
+                                     **gen_kwargs)
+            for verts, tris in meshes:
+                yield (lambda v=verts, t=tris: sample_surface(
+                    v, t, args.sample_npoint, rng))
+
     proc_np = np.asarray(proc)
     mask_np = np.asarray(mask) > 0.5
     out = np.zeros((B, args.sample_npoint, 3), np.float32)
     failed = np.zeros(B, bool)
-    for b, (verts, tris) in enumerate(meshes):
+    for b, sample_fn in enumerate(sample_cloud_fns()):
         try:
-            pts = sample_surface(verts, tris, args.sample_npoint, rng)
+            pts = sample_fn()
         except ValueError:
             # reconstruction failed: fall back to resampling the input
             # (remesh_defense.py:159-170)

@@ -311,6 +311,88 @@ def active_voxel_refinement(
     return fine
 
 
+def compute_value_grids(
+    decode_fn: Callable,
+    variables,
+    c,
+    *,
+    threshold: float = 0.2,
+    padding: float = DEFAULT_PADDING,
+    resolution0: int = 32,
+    upsample: int = 4,
+    refine: bool = True,
+    max_active: int = 8192,
+    chunk: int = 8192,
+    lattice_eval_fn=None,
+    dense_eval_fn=None,
+    wire: str = "bf16",
+    compute_dtype: str | None = None,
+):
+    """Occupancy value grids for the batch, host-side.
+
+    The shared front half of mesh generation (see `generate_meshes` for
+    the argument semantics). Returns (values, iso) where values is
+    [B, R+1, R+1, R+1] float32 — or int8 QUANTISED logits when the dense
+    path runs with wire="int8" (iso at q == 0; `quantize_wire_int8`), so
+    direct-sampling consumers never materialise the float grid.
+    """
+    iso = logit_threshold(threshold)
+    box_size = 1.0 + padding
+
+    B = jax.tree_util.tree_leaves(c)[0].shape[0]
+    qdt = None
+    if compute_dtype is not None and dense_eval_fn is None:
+        cdt = jnp.dtype(compute_dtype)
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        variables, c = cast(variables), cast(c)
+        qdt = compute_dtype                 # queries cast inside the jit
+    if dense_eval_fn is not None and refine and upsample > 1:
+        # values only feed crossing tests / lerp; compact wire format
+        vals_dev = dense_eval_fn(variables, c)
+        if wire == "int8":
+            values = np.asarray(quantize_wire_int8(vals_dev, iso))
+        else:
+            values = np.asarray(
+                vals_dev.astype(jnp.bfloat16)).astype(np.float32)
+    else:
+        grid = make_grid(resolution0, box_size)        # [R0+1]^3 x 3
+        R0p = resolution0 + 1
+        pts = jnp.asarray(grid.reshape(1, -1, 3))
+        pts = jnp.broadcast_to(pts, (B, pts.shape[1], 3))
+        coarse = eval_points_batched(
+            decode_fn, variables, c, pts, chunk, qdt)
+        coarse = coarse.reshape(B, R0p, R0p, R0p)
+
+        if refine and upsample > 1:
+            values = active_voxel_refinement(
+                decode_fn, variables, c, coarse, resolution0, upsample,
+                box_size, iso, max_active, chunk,
+                lattice_eval_fn=lattice_eval_fn, query_dtype=qdt,
+            )
+        else:
+            values = np.asarray(coarse)
+    return values, iso
+
+
+def sample_value_grid(values_b: np.ndarray, iso: float, box_size: float,
+                      n: int, seed: int) -> np.ndarray:
+    """Fused marching + area-weighted sampling of ONE cloud's value grid.
+
+    [R+1]^3 float32 logits (or int8 quantised) -> [n, 3] world-coordinate
+    surface samples, via the native soup sampler (no indexed mesh — see
+    native/sample.cpp). Raises ValueError on a degenerate surface.
+    """
+    from if_defense_tpu.native import sample_isosurface
+
+    pad_val = np.int8(-127) if values_b.dtype == np.int8 else -1e6
+    vol = np.pad(values_b, 1, constant_values=pad_val)
+    pts = sample_isosurface(vol, iso, n, seed)
+    R = values_b.shape[0] - 1
+    return ((pts - 1.0) / R - 0.5) * box_size
+
+
 def generate_meshes(
     decode_fn: Callable,
     variables,
@@ -357,45 +439,17 @@ def generate_meshes(
     Returns:
         list of (vertices [V, 3] float32 world coords, triangles [T, 3]).
     """
-    iso = logit_threshold(threshold)
+    values, iso = compute_value_grids(
+        decode_fn, variables, c,
+        threshold=threshold, padding=padding, resolution0=resolution0,
+        upsample=upsample, refine=refine, max_active=max_active,
+        chunk=chunk, lattice_eval_fn=lattice_eval_fn,
+        dense_eval_fn=dense_eval_fn, wire=wire,
+        compute_dtype=compute_dtype,
+    )
     box_size = 1.0 + padding
-
-    B = jax.tree_util.tree_leaves(c)[0].shape[0]
-    qdt = None
-    if compute_dtype is not None and dense_eval_fn is None:
-        cdt = jnp.dtype(compute_dtype)
-        cast = lambda t: jax.tree_util.tree_map(
-            lambda x: x.astype(cdt)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-        variables, c = cast(variables), cast(c)
-        qdt = compute_dtype                 # queries cast inside the jit
-    if dense_eval_fn is not None and refine and upsample > 1:
-        # values only feed crossing tests / lerp; compact wire format,
-        # cast to f32 host-side
-        vals_dev = dense_eval_fn(variables, c)
-        if wire == "int8":
-            values = dequantize_wire_int8(
-                quantize_wire_int8(vals_dev, iso), iso)
-        else:
-            values = np.asarray(
-                vals_dev.astype(jnp.bfloat16)).astype(np.float32)
-    else:
-        grid = make_grid(resolution0, box_size)        # [R0+1]^3 x 3
-        R0p = resolution0 + 1
-        pts = jnp.asarray(grid.reshape(1, -1, 3))
-        pts = jnp.broadcast_to(pts, (B, pts.shape[1], 3))
-        coarse = eval_points_batched(
-            decode_fn, variables, c, pts, chunk, qdt)
-        coarse = coarse.reshape(B, R0p, R0p, R0p)
-
-        if refine and upsample > 1:
-            values = active_voxel_refinement(
-                decode_fn, variables, c, coarse, resolution0, upsample,
-                box_size, iso, max_active, chunk,
-                lattice_eval_fn=lattice_eval_fn, query_dtype=qdt,
-            )
-        else:
-            values = np.asarray(coarse)
+    if values.dtype == np.int8:
+        values = dequantize_wire_int8(values, iso)
 
     meshes = []
     R = values.shape[1] - 1

@@ -17,7 +17,8 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "isosurface.cpp"),
          os.path.join(_DIR, "simplify.cpp"),
-         os.path.join(_DIR, "assemble.cpp")]
+         os.path.join(_DIR, "assemble.cpp"),
+         os.path.join(_DIR, "sample.cpp")]
 _SO = os.path.join(_DIR, "libgeometry.so")
 _lib = None
 
@@ -68,6 +69,22 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.assemble_fine_vox.argtypes = lib.assemble_fine.argtypes
+        lib.mt_sample_f32.restype = ctypes.c_int
+        lib.mt_sample_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.c_int64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.mt_sample_i8.restype = ctypes.c_int
+        lib.mt_sample_i8.argtypes = [
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _lib = lib
     return _lib
 
@@ -106,6 +123,49 @@ def marching_isosurface(volume: np.ndarray, iso: float):
         lib.mt_free(vp)
         lib.mt_free(tp)
     return verts, tris
+
+
+def sample_isosurface(volume: np.ndarray, iso: float, n: int,
+                      seed: int = 0) -> np.ndarray:
+    """Fused marching-tetrahedra + area-weighted surface sampling.
+
+    Same surface geometry as `marching_isosurface` + `sample_surface`, in
+    one native pass with no indexed mesh (see native/sample.cpp). int8
+    volumes are marched directly in the quantised domain (iso ignored —
+    quantize_wire_int8 puts the isovalue at q == 0).
+
+    Args:
+        volume: [nx, ny, nz] float32 logits or int8 quantised logits.
+        iso: isovalue (float volumes only).
+        n: number of samples.
+    Returns:
+        [n, 3] float32 points in grid-index coordinates.
+    Raises:
+        ValueError on an empty/degenerate surface — callers fall back
+        like `ONet/remesh_defense.py:159-170`.
+    """
+    lib = _load()
+    out = np.empty((n, 3), np.float32)
+    area = ctypes.c_double()
+    if volume.dtype == np.int8:
+        vol = np.ascontiguousarray(volume)
+        rc = lib.mt_sample_i8(
+            vol.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            *vol.shape, n, ctypes.c_uint64(seed),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(area),
+        )
+    else:
+        vol = np.ascontiguousarray(volume, np.float32)
+        rc = lib.mt_sample_f32(
+            vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            *vol.shape, ctypes.c_float(iso), n, ctypes.c_uint64(seed),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(area),
+        )
+    if rc != 0:
+        raise ValueError("empty or degenerate isosurface")
+    return out
 
 
 def simplify_mesh(

@@ -100,6 +100,57 @@ def test_sample_surface_empty_mesh_raises():
                        np.random.default_rng(0))
 
 
+def _sphere_vol(n=65, radius=0.4, sharp=20.0, box=1.1):
+    g = (np.arange(n) / (n - 1) - 0.5) * box
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    return (sharp * (radius - np.sqrt(X**2 + Y**2 + Z**2))).astype(
+        np.float32)
+
+
+def test_sample_value_grid_matches_mesh_sampling():
+    """The fused native sampler (sample.cpp: triangle soup + in-kernel
+    area sampling) draws from the SAME surface as marching + sample: the
+    radius distribution on an analytic sphere matches to grid tolerance,
+    f32 and int8-quantised wire alike."""
+    from if_defense_tpu.implicit.generation import (
+        quantize_wire_int8,
+        sample_value_grid,
+    )
+
+    vol = _sphere_vol()
+    iso = 0.0
+    box = 1.1
+
+    # reference path: indexed mesh + python area sampling
+    vol_pad = np.pad(vol, 1, constant_values=-1e6)
+    verts, tris = marching_isosurface(vol_pad, iso)
+    pts_ref = sample_surface(
+        verts.astype(np.float32), tris, 4000, np.random.default_rng(0))
+    world_ref = ((pts_ref - 1.0) / (vol.shape[0] - 1) - 0.5) * box
+    r_ref = np.linalg.norm(world_ref, axis=1)
+
+    pts = sample_value_grid(vol, iso, box, 4000, seed=1)
+    r = np.linalg.norm(pts, axis=1)
+    np.testing.assert_allclose(r.mean(), r_ref.mean(), atol=1e-3)
+    np.testing.assert_allclose(r.max(), r_ref.max(), atol=2e-3)
+    np.testing.assert_allclose(r.min(), r_ref.min(), atol=2e-3)
+
+    # int8 quantised grid marches directly (iso at q == 0); vertices
+    # shift by <= one quantum like the dequantise-then-march path
+    q = np.asarray(quantize_wire_int8(jnp.asarray(vol), iso))
+    pts_q = sample_value_grid(q, iso, box, 4000, seed=2)
+    rq = np.linalg.norm(pts_q, axis=1)
+    np.testing.assert_allclose(rq.mean(), r_ref.mean(), atol=3e-3)
+
+
+def test_sample_value_grid_degenerate_raises():
+    from if_defense_tpu.implicit.generation import sample_value_grid
+
+    empty = np.full((17, 17, 17), -5.0, np.float32)
+    with pytest.raises(ValueError):
+        sample_value_grid(empty, 0.0, 1.1, 16, seed=0)
+
+
 def test_logit_threshold():
     assert abs(logit_threshold(0.5)) < 1e-9
     assert logit_threshold(0.2) < 0
