@@ -66,9 +66,18 @@ def parse_args(argv=None):
                    help="run the coarse+refinement occupancy evals in "
                         "bf16 (the ONet/exact path's MXU lever; the "
                         "values only feed crossing tests/lerp)")
-    p.add_argument("--wire", default="bf16", choices=["bf16", "int8"],
-                   help="dense-path device->host value format (int8 "
-                        "halves the transfer; vertex shift <= 1 quantum)")
+    p.add_argument("--wire", default="bf16",
+                   choices=["bf16", "int8", "sparse"],
+                   help="dense-path device->host value format. int8 "
+                        "halves the transfer (vertex shift <= 1 "
+                        "quantum); sparse transfers only surface-"
+                        "adjacent int8 blocks (~40x less wire, "
+                        "IDENTICAL samples to int8 — needs "
+                        "--sample_mode direct)")
+    p.add_argument("--sparse_blocks", type=int, default=None,
+                   help="static per-cloud active-block budget for "
+                        "--wire sparse (default (nb^3)/4; raise if the "
+                        "CLI reports clipping)")
     p.add_argument("--sample_mode", default="direct",
                    choices=["direct", "mesh"],
                    help="direct = fused native marching+sampling (no "
@@ -92,7 +101,7 @@ def build_model(args):
 
 def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
                  mesh=None, dense_fn=None, decode_fn=None,
-                 encode_fn=None):
+                 encode_fn=None, sparse_fn=None):
     """Defend one [B, K, 3] batch; returns [B, sample_npoint, 3].
 
     With a mesh, the batch is sharded on dp so the encoder pass and the
@@ -123,10 +132,27 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
     def sample_cloud_fns():
         """Yield one sampling callable per cloud (raises ValueError on a
         degenerate surface)."""
-        if args.sample_mode == "direct":
+        box = 1.0 + DEFAULT_PADDING
+        if args.sample_mode == "direct" and sparse_fn is not None:
+            from if_defense_tpu.implicit.generation import (
+                assemble_sparse_grid,
+            )
+
+            meta = sparse_fn.sparse_meta
+            out_dev = sparse_fn(variables, c)
+            out_np = {k: np.asarray(v) for k, v in out_dev.items()}
+            for b in range(B):
+                def one(b=b):
+                    vol = assemble_sparse_grid(
+                        out_np, b, block=meta["block"], nb=meta["nb"],
+                        rp=meta["rp"])
+                    return sample_value_grid(
+                        vol, meta["iso"], box, args.sample_npoint,
+                        seed=int(rng.integers(2**62)) + b)
+                yield one
+        elif args.sample_mode == "direct":
             values, iso = compute_value_grids(
                 decode_fn, variables, c, **gen_kwargs)
-            box = 1.0 + DEFAULT_PADDING
             for b in range(B):
                 yield (lambda vb=values[b], s=b: sample_value_grid(
                     vb, iso, box, args.sample_npoint,
@@ -163,7 +189,8 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
 
 
 def defend_clouds(model, variables, input_n, pc, args, mesh=None,
-                  dense_fn=None, decode_fn=None, encode_fn=None):
+                  dense_fn=None, decode_fn=None, encode_fn=None,
+                  sparse_fn=None):
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
     outs, failures = [], 0
@@ -176,7 +203,7 @@ def defend_clouds(model, variables, input_n, pc, args, mesh=None,
         key, sub = jax.random.split(key)
         out, failed = remesh_batch(
             model, variables, input_n, batch, args, rng, sub, mesh,
-            dense_fn, decode_fn, encode_fn)
+            dense_fn, decode_fn, encode_fn, sparse_fn)
         if pad:
             out, failed = out[: B - pad], failed[: B - pad]
         outs.append(out)
@@ -205,10 +232,11 @@ def main(argv=None):
     # evaluation of the full fine grid. Built ONCE here — it carries the
     # jit cache across all files and train/test splits. Falls back to
     # coarse+refine for grid-type latents / ONet.
-    dense_fn = None
+    dense_fn, sparse_fn = None, None
     if args.variant == "convonet":
         from if_defense_tpu.implicit.generation import (
             make_convonet_dense_eval,
+            make_convonet_sparse_eval,
         )
 
         # same box the generate_meshes query grid uses (1 + padding)
@@ -219,6 +247,16 @@ def main(argv=None):
                   "dense-lattice path (evaluation precision is set by the "
                   "lattice evaluator; use --wire int8 to compact the "
                   "transfer instead)")
+        if args.wire == "sparse":
+            sparse_fn = make_convonet_sparse_eval(
+                model, args.resolution0 * args.upsample,
+                1.0 + DEFAULT_PADDING, args.threshold,
+                max_blocks=args.sparse_blocks)
+    if args.wire == "sparse" and (
+            sparse_fn is None or args.sample_mode != "direct"):
+        raise SystemExit(
+            "--wire sparse needs --variant convonet (3-plane latent) "
+            "and --sample_mode direct")
 
     # ONE stable decode_fn for the whole run: eval_points_batched hashes
     # it as a static jit argument, so a per-batch closure would recompile
@@ -244,12 +282,12 @@ def main(argv=None):
             out["target_label"] = d.target_label
         out["test_pc"], fails = defend_clouds(
             model, variables, input_n, d.test_pc[..., :3], args, mesh,
-            dense_fn, decode_fn, encode_fn)
+            dense_fn, decode_fn, encode_fn, sparse_fn)
         n = len(out["test_pc"])
         if args.train:
             out["train_pc"], f2 = defend_clouds(
                 model, variables, input_n, d.train_pc[..., :3], args,
-                mesh, dense_fn, decode_fn, encode_fn)
+                mesh, dense_fn, decode_fn, encode_fn, sparse_fn)
             out["train_label"] = d.train_label
             n += len(out["train_pc"])
             fails += f2

@@ -225,6 +225,125 @@ def make_convonet_dense_eval(model, rf: int, box_size: float):
     return eval_fn
 
 
+def make_convonet_sparse_eval(model, rf: int, box_size: float,
+                              threshold: float = 0.2, block: int = 8,
+                              max_blocks: int | None = None):
+    """Sparse active-block evaluator: dense lattice on device, but only
+    the surface-adjacent value blocks cross the wire.
+
+    The dense int8 wire moves (rf+1)^3 bytes/cloud although marching only
+    reads values at crossing cubes (~1-2% of the grid). This evaluator
+    computes the dense lattice on device, quantises, finds the MIXED
+    (sign-change) blocks with overlapping windows (window = block+1,
+    stride = block — the one-point overlap guarantees every crossing cube
+    lies inside some window), dilates one block toward +axes (a crossing
+    cube's far corners live in the next block), and transfers only those
+    blocks plus per-block sign flags. `assemble_sparse_grid` rebuilds a
+    sign-exact int8 grid host-side: crossing-cube corner values are
+    exact, uniform regions get sign-correct filler — identical marching
+    topology and vertex positions to the dense int8 wire.
+
+    Returns None unless the dense evaluator applies. eval_fn(variables,
+    c) -> dict of device arrays for `assemble_sparse_grid`:
+      blocks  [B, M, block^3] int8 — gathered active blocks
+      idx     [B, M] int32 flat block ids (-1 = unused slot)
+      inside  [B, nb^3] bool — all-inside flag per block (filler signs)
+      n_need  [B] int32 — blocks genuinely needed (n_need > M means the
+              static budget clipped; callers log / raise the cap)
+    """
+    dense_fn = make_convonet_dense_eval(model, rf, box_size)
+    if dense_fn is None:
+        return None
+    iso = logit_threshold(threshold)
+    rp = rf + 1
+    nb = -(-rp // block)                       # blocks per axis
+    S = nb * block
+    M = min(max_blocks or max(nb**3 // 4, 64), nb**3)
+
+    @jax.jit
+    def eval_fn(variables, c):
+        vals = dense_fn(variables, c)                    # [B, rp, rp, rp]
+        q = quantize_wire_int8(vals, iso)
+        B = q.shape[0]
+        pad = S - rp
+        qp = jnp.pad(q, ((0, 0),) + ((0, pad),) * 3,
+                     constant_values=jnp.int8(-127))
+        occ = (qp > 0)
+
+        # overlapping windows over the SHELL-padded occupancy (the
+        # downstream sampler pads a strongly-outside shell, so a field
+        # that is inside at the grid boundary has crossings against the
+        # shell — the front/back False padding makes those windows mixed
+        # too). Window j covers points [j*block - 1, j*block + block - 1]
+        # -> nb + 1 windows per axis.
+        occw = jnp.pad(occ, ((0, 0),) + ((1, block),) * 3)
+        f = occw.astype(jnp.float32)
+        win = (1, block + 1, block + 1, block + 1)
+        st = (1, block, block, block)
+        w_any = jax.lax.reduce_window(
+            f, -jnp.inf, jax.lax.max, win, st, "valid") > 0.5
+        w_all = jax.lax.reduce_window(
+            f, jnp.inf, jax.lax.min, win, st, "valid") > 0.5
+        mixed = w_any & ~w_all                         # [B, nb+1]^3
+
+        # window j's crossing cubes touch blocks {j-1, j}; block i is
+        # needed by windows {i, i+1}
+        transferred = jax.lax.reduce_window(
+            mixed.astype(jnp.float32), -jnp.inf, jax.lax.max,
+            (1, 2, 2, 2), (1, 1, 1, 1), "valid") > 0.5  # [B, nb]^3
+
+        score = transferred.astype(jnp.float32).reshape(B, -1)
+        top, idx = jax.lax.top_k(score, M)               # [B, M]
+        idx = jnp.where(top > 0.5, idx, -1).astype(jnp.int32)
+
+        qb = qp.reshape(B, nb, block, nb, block, nb, block)
+        qb = qb.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B, nb**3, block**3)
+        blocks = jnp.take_along_axis(
+            qb, jnp.maximum(idx, 0).astype(jnp.int32)[:, :, None], axis=1)
+
+        # block-level (non-overlapping) all-inside flags for the filler
+        ob = occ.reshape(B, nb, block, nb, block, nb, block)
+        inside = ob.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            B, nb**3, block**3).all(axis=-1)
+        n_need = jnp.sum(
+            transferred.reshape(B, -1), axis=-1).astype(jnp.int32)
+        return {"blocks": blocks, "idx": idx, "inside": inside,
+                "n_need": n_need}
+
+    eval_fn.sparse_meta = {"block": block, "nb": nb, "rp": rp, "M": M,
+                           "iso": iso}
+    return eval_fn
+
+
+def assemble_sparse_grid(out_b: dict, b: int, *, block: int, nb: int,
+                         rp: int) -> np.ndarray:
+    """Host half of the sparse wire: one cloud's int8 value grid.
+
+    Raises RuntimeError when the static block budget clipped genuinely
+    needed blocks (raise --sparse_blocks).
+    """
+    idx = np.asarray(out_b["idx"][b])
+    n_need = int(out_b["n_need"][b])
+    n_have = int((idx >= 0).sum())
+    if n_need > n_have:
+        raise RuntimeError(
+            f"sparse wire clipped: {n_need} active blocks > budget "
+            f"{len(idx)} — raise max_blocks")
+    inside = np.asarray(out_b["inside"][b]).reshape(nb, nb, nb)
+    vol = np.where(inside, np.int8(1), np.int8(-1))
+    vol = vol.repeat(block, 0).repeat(block, 1).repeat(block, 2)
+    blocks = np.asarray(out_b["blocks"][b])            # [M, block^3]
+    valid = idx >= 0
+    ids = idx[valid]
+    bx, rem = np.divmod(ids, nb * nb)
+    by, bz = np.divmod(rem, nb)
+    vals = blocks[valid].reshape(-1, block, block, block)
+    for i in range(len(ids)):
+        x0, y0, z0 = bx[i] * block, by[i] * block, bz[i] * block
+        vol[x0:x0 + block, y0:y0 + block, z0:z0 + block] = vals[i]
+    return vol[:rp, :rp, :rp]
+
+
 def active_voxel_refinement(
     decode_fn: Callable,
     variables,

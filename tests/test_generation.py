@@ -143,6 +143,55 @@ def test_sample_value_grid_matches_mesh_sampling():
     np.testing.assert_allclose(rq.mean(), r_ref.mean(), atol=3e-3)
 
 
+def test_sparse_wire_matches_dense_int8():
+    """Sparse active-block wire reproduces the dense int8 wire EXACTLY:
+    same signs everywhere, identical surface samples (crossing-cube
+    corner values are transferred exactly; filler only fills uniform
+    regions the marcher never interpolates in)."""
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.implicit.generation import (
+        assemble_sparse_grid,
+        make_convonet_dense_eval,
+        make_convonet_sparse_eval,
+        quantize_wire_int8,
+        sample_value_grid,
+    )
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    rng = np.random.default_rng(11)
+    init_pc = jnp.zeros((2, 32, 3))
+    variables = model.init(jax.random.key(3), init_pc, init_pc)
+    pc = jnp.asarray(rng.uniform(-0.4, 0.4, (3, 64, 3)), jnp.float32)
+    c = model.apply(variables, pc, method="encode_inputs")
+
+    rf, box, thr = 16, 1.1, 0.2
+    iso = logit_threshold(thr)
+    dense_fn = make_convonet_dense_eval(model, rf, box)
+    q_dense = np.asarray(quantize_wire_int8(dense_fn(variables, c), iso))
+
+    sparse_fn = make_convonet_sparse_eval(model, rf, box, thr, block=4,
+                                          max_blocks=128)
+    meta = sparse_fn.sparse_meta
+    out = {k: np.asarray(v) for k, v in sparse_fn(variables, c).items()}
+
+    crossings = 0
+    for b in range(3):
+        vol = assemble_sparse_grid(
+            out, b, block=meta["block"], nb=meta["nb"], rp=meta["rp"])
+        assert vol.shape == q_dense[b].shape
+        np.testing.assert_array_equal(vol > 0, q_dense[b] > 0)
+        try:
+            s_dense = sample_value_grid(q_dense[b], iso, box, 256, seed=b)
+            crossings += 1
+        except ValueError:
+            with pytest.raises(ValueError):
+                sample_value_grid(vol, iso, box, 256, seed=b)
+            continue
+        s_sparse = sample_value_grid(vol, iso, box, 256, seed=b)
+        np.testing.assert_array_equal(s_dense, s_sparse)
+    assert crossings > 0  # the random field must actually have surface
+
+
 def test_sample_value_grid_degenerate_raises():
     from if_defense_tpu.implicit.generation import sample_value_grid
 
