@@ -42,7 +42,9 @@ def test_onet_decoder_variants_and_latent_encoder():
         LatentEncoder,
     )
 
-    assert set(DECODER_REGISTRY) == {"simple", "cbatchnorm"}
+    assert set(DECODER_REGISTRY) == {
+        "simple", "cbatchnorm", "cbatchnorm2", "batchnorm",
+        "cbatchnorm_noresnet"}
     rng = np.random.default_rng(0)
     p = jnp.asarray(rng.normal(size=(2, 16, 3)), jnp.float32)
     c = jnp.asarray(rng.normal(size=(2, 512)), jnp.float32)

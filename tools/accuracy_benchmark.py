@@ -69,8 +69,8 @@ def parse_args(argv=None):
     p.add_argument("--occ_steps", type=int, default=4000)
     p.add_argument("--defense_iters", type=int, default=200)
     p.add_argument("--batch_size", type=int, default=40)
-    p.add_argument("--knn_iter", type=int, default=1500)
-    p.add_argument("--cw_steps", type=int, nargs=2, default=[8, 300],
+    p.add_argument("--knn_iter", type=int, default=2500)
+    p.add_argument("--cw_steps", type=int, nargs=2, default=[10, 500],
                    help="CW binary steps / iters for perturb-family")
     p.add_argument("--num_drop", type=int, default=200)
     p.add_argument("--fast", action="store_true",

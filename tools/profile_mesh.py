@@ -41,7 +41,13 @@ if __name__ == "__main__":
     p.add_argument("--chunk", type=int, default=8192)
     p.add_argument("--simplify_nfaces", type=int, default=0,
                    help="QEM target per mesh (0 = off)")
-    p.add_argument("--wire", default="bf16", choices=["bf16", "int8"])
+    p.add_argument("--wire", default="bf16",
+                   choices=["bf16", "int8", "sparse"])
+    p.add_argument("--sparse_blocks", type=int, default=None)
+    p.add_argument("--sample_mode", default="mesh",
+                   choices=["mesh", "direct"],
+                   help="direct = fused native marching+sampling "
+                        "(sample.cpp), skipping the indexed mesh")
     p.add_argument("--mode", default="dense",
                    choices=["dense", "lattice", "exact"],
                    help="dense = gather-free slab eval (product path); "
@@ -88,6 +94,40 @@ if __name__ == "__main__":
     print(f"encode:            {time.perf_counter()-t0:7.2f} s "
           f"(cold {t_cold:.2f})")
 
+    if args.mode == "dense" and args.wire == "sparse":
+        # sparse active-block wire + fused direct sampling (the fast
+        # ConvONet product path)
+        sparse_fn = G.make_convonet_sparse_eval(
+            model, R0 * U, box_size, max_blocks=args.sparse_blocks)
+        meta = sparse_fn.sparse_meta
+        out = sparse_fn(variables, c)
+        sync(out["n_need"])                           # incl. compile
+        t0 = time.perf_counter()
+        out = sparse_fn(variables, c)
+        sync(out["n_need"])
+        t1 = time.perf_counter()
+        out_np = {k: np.asarray(v) for k, v in out.items()}
+        t2 = time.perf_counter()
+        nbytes = sum(a.size * a.dtype.itemsize for a in out_np.values())
+        print(f"sparse eval:       {t1-t0:7.2f} s; transfer "
+              f"{t2-t1:7.2f} s ({nbytes/1e6:.1f} MB; "
+              f"n_need max {out_np['n_need'].max()} of M={meta['M']})")
+        t0 = time.perf_counter()
+        n_ok = 0
+        for b in range(B):
+            vol = G.assemble_sparse_grid(
+                out_np, b, block=meta["block"], nb=meta["nb"],
+                rp=meta["rp"])
+            try:
+                G.sample_value_grid(vol, meta["iso"], box_size, 1024,
+                                    seed=b)
+                n_ok += 1
+            except ValueError:
+                pass
+        print(f"assemble+sample:   {time.perf_counter()-t0:7.2f} s "
+              f"({n_ok}/{B} ok)")
+        raise SystemExit(0)
+
     if args.mode == "dense":
         # gather-free dense slab evaluation (the ConvONet product path)
         dense_fn = G.make_convonet_dense_eval(model, R0 * U, box_size)
@@ -110,8 +150,28 @@ if __name__ == "__main__":
         vals_dev = to_wire(dense_fn(variables, c))
         sync(vals_dev)
         t1 = time.perf_counter()
-        fine = from_wire(vals_dev)
+        raw = np.asarray(vals_dev)
+        t2 = time.perf_counter()
         nbytes = vals_dev.size * vals_dev.dtype.itemsize
+        if args.sample_mode == "direct":
+            t0 = time.perf_counter()
+            n_ok = 0
+            for b in range(B):
+                try:
+                    G.sample_value_grid(
+                        raw[b] if raw.dtype == np.int8
+                        else raw[b].astype(np.float32),
+                        iso, box_size, 1024, seed=b)
+                    n_ok += 1
+                except ValueError:
+                    pass
+            print(f"dense eval:        {t1-t0:7.2f} s; transfer "
+                  f"{t2-t1:7.2f} s ({nbytes/1e6:.0f} MB {args.wire}); "
+                  f"direct sample {time.perf_counter()-t0:7.2f} s "
+                  f"({n_ok}/{B} ok)")
+            raise SystemExit(0)
+        fine = (G.dequantize_wire_int8(raw, iso)
+                if raw.dtype == np.int8 else raw.astype(np.float32))
         print(f"dense eval:        {t1-t0:7.2f} s "
               f"({B * (R0*U+1)**3 / 1e6:.0f}M pts); transfer+cast "
               f"{time.perf_counter()-t1:7.2f} s "

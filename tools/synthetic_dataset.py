@@ -215,33 +215,50 @@ def _hard_normals(cls: str, params: dict, p: np.ndarray,
     return g / np.maximum(n, 1e-12)
 
 
-def _hard_surface(cls: str, n: int, rng) -> tuple[np.ndarray, dict]:
-    """Sample n surface points of a randomised hard-family shape.
+def _hard_surface(cls: str, n: int, rng,
+                  oversample: int = 4) -> tuple[np.ndarray, dict]:
+    """Sample n AREA-UNIFORM surface points of a randomised hard shape.
 
     Star-shaped classes: bisection of f along random rays from the
-    origin. Tori: closed-form parameterisation (not star-shaped).
+    origin; tori: closed-form parameterisation. Both raw samplers are
+    density-biased (ray sampling ~ cos(alpha)/t^2, torus params ~ ring
+    radius x tube speed), so an `oversample`-sized candidate pool is
+    importance-resampled by the local area element. Uniform density
+    matters: the victims train on these clouds, and a density bias would
+    penalise surface-restoring defenses (their outputs are
+    area-uniform) through distribution shift rather than geometry.
     """
     params = _hard_params(cls, rng)
+    m = n * oversample
     if cls in ("torus", "elltorus"):
         R, ar, ay = params["R"], params["ar"], params["ay"]
-        u = rng.uniform(0, 2 * np.pi, n)
-        v = rng.uniform(0, 2 * np.pi, n)
+        u = rng.uniform(0, 2 * np.pi, m)
+        v = rng.uniform(0, 2 * np.pi, m)
         p = np.stack([
             (R + ar * np.cos(v)) * np.cos(u),
             ay * np.sin(v),
             (R + ar * np.cos(v)) * np.sin(u),
         ], 1)
-        return p, params
-    d = _unit_dirs(rng, n)
-    lo = np.zeros(n)
-    hi = np.full(n, 3.0)
-    for _ in range(40):                      # bisect f(t * d) = 0
-        mid = 0.5 * (lo + hi)
-        inside = _hard_f(cls, params, mid[:, None] * d) < 0
-        lo = np.where(inside, mid, lo)
-        hi = np.where(inside, hi, mid)
-    t = 0.5 * (lo + hi)
-    return t[:, None] * d, params
+        # |p_u x p_v| = ring radius * tube speed
+        w = ((R + ar * np.cos(v))
+             * np.hypot(ar * np.sin(v), ay * np.cos(v)))
+    else:
+        d = _unit_dirs(rng, m)
+        lo = np.zeros(m)
+        hi = np.full(m, 3.0)
+        for _ in range(40):                  # bisect f(t * d) = 0
+            mid = 0.5 * (lo + hi)
+            inside = _hard_f(cls, params, mid[:, None] * d) < 0
+            lo = np.where(inside, mid, lo)
+            hi = np.where(inside, hi, mid)
+        t = 0.5 * (lo + hi)
+        p = t[:, None] * d
+        # ray-sampling density ~ cos(alpha) / t^2 -> weight t^2 / cos
+        nrm = _hard_normals(cls, params, p)
+        cos = np.abs(np.sum(nrm * d, axis=1))
+        w = t * t / np.maximum(cos, 0.05)
+    idx = rng.choice(m, size=n, p=w / w.sum())
+    return p[idx], params
 
 
 def _normalize(pc: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
