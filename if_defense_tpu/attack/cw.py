@@ -265,12 +265,17 @@ def cw_knn(
     key: jax.Array,
     dist_fn: Callable,
     normal: jax.Array | None = None,
-    adv_fn: Callable = logits_adv_loss,
+    adv_fn: Callable | None = None,
     attack_lr: float = 1e-3,
     num_iter: int = 2500,
     budget: float = 0.1,
+    kappa: float = 15.0,
 ):
     """CW kNN robust attack (AAAI'20), `CW/kNN.py:14-149`.
+
+    kappa=15 is the reference driver's default margin
+    (`targeted_knn_attack.py:81`) — without the margin the attack stops
+    at the decision boundary and any denoising defense undoes it.
 
     No binary search: 2500 Adam steps on `adv_loss + K * dist_fn` with a
     post-step projection of inside points to the surface (via normals) and
@@ -282,6 +287,8 @@ def cw_knn(
     B, K, _ = data.shape
     ori = data
     opt = optax.adam(attack_lr)
+    if adv_fn is None:
+        adv_fn = functools.partial(logits_adv_loss, kappa=kappa)
 
     def loss_fn(adv):
         logits = logits_fn(adv)

@@ -72,6 +72,8 @@ def parse_args(argv=None):
     p.add_argument("--budget", type=float, default=0.08)
     # kNN params
     p.add_argument("--knn_budget", type=float, default=0.1)
+    p.add_argument("--kappa", type=float, default=15.0,
+                   help="kNN-attack margin (targeted_knn_attack.py:81)")
     p.add_argument("--approx_knn", action="store_true",
                    help="approx_max_k selection inside the kNN-attack "
                         "distance (faster on TPU, advisory graph)")
@@ -152,7 +154,7 @@ def build_attack(args, logits_fn, masked_logits_fn=None):
             adv, succ = cw_knn(
                 logits_fn, pc, target, key, dist,
                 normal=normal, attack_lr=1e-3, num_iter=iters,
-                budget=args.knn_budget)
+                budget=args.knn_budget, kappa=args.kappa)
             return adv, succ
         return run, "target_normal"
 

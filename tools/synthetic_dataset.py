@@ -25,17 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CLASSES = ["sphere", "box", "cylinder", "torus", "cone", "capsule",
            "ellipsoid", "cross"]
 
-# The HARD family: four confusable pairs that differ only in fine-scale
-# geometry (boxiness exponent, barrel bulge, edge rounding, tube
-# ellipticity). Built so adversarial perturbations at CW/kNN budgets can
-# flip the pair decision, and so surface-restoring defenses (IF-Defense)
-# have headroom over outlier removal (SOR) — the discriminative benchmark
-# VERDICT r2 asked for. Every class has a smooth inside-function f (f < 0
+# The HARD family: four confusable pairs that differ in SMOOTH,
+# moderate-scale geometry (ellipsoid aspect, barrel bulge, box taper,
+# tube ellipticity). Built so adversarial perturbations at CW/kNN
+# budgets can flip the pair decision, while surface-restoring defenses
+# (IF-Defense) keep headroom over outlier removal (SOR) — the
+# discriminative benchmark VERDICT r2 asked for. The differences are
+# deliberately low-frequency: pairs separated by edge SHARPNESS (box vs
+# rounded box, sphere vs superellipsoid) were measured unrecoverable —
+# a plane-resolution-64 ConvONet rounds edges, so reconstruction itself
+# flipped those pairs (box<->roundbox swapped 40/40 in the r3 tuning
+# runs) and the benchmark was testing reconstruction bandwidth, not
+# defense quality. Every class has a smooth inside-function f (f < 0
 # inside) giving exact occupancy AND analytic-quality normals (central
 # differences of f), which the kNN attack's normal-projection clipping
 # requires (`baselines/attack/CW/kNN.py:115-116`).
-HARD_CLASSES = ["sphere", "superellipsoid", "cylinder", "barrel",
-                "box", "roundbox", "torus", "elltorus"]
+HARD_CLASSES = ["sphere", "ellipsoid", "cylinder", "barrel",
+                "box", "taperbox", "torus", "elltorus"]
 
 
 def _unit_dirs(rng, n):
@@ -159,17 +165,18 @@ def _occupancy(cls: str, params: dict, q: np.ndarray) -> np.ndarray:
 def _hard_params(cls: str, rng) -> dict:
     """Randomised shape parameters; pair members share distributions so
     only the fine-scale geometry separates them."""
-    if cls in ("sphere", "superellipsoid"):
+    if cls in ("sphere", "ellipsoid"):
         return {"r": rng.uniform(0.55, 0.95),
-                "p": 2.0 if cls == "sphere" else rng.uniform(3.2, 4.0)}
+                "q": 1.0 if cls == "sphere" else rng.uniform(0.72, 0.85)}
     if cls in ("cylinder", "barrel"):
         return {"r": rng.uniform(0.35, 0.6), "h": rng.uniform(0.55, 0.95),
                 "bulge": 0.0 if cls == "cylinder"
                 else rng.uniform(0.15, 0.25)}
-    if cls in ("box", "roundbox"):
+    if cls in ("box", "taperbox"):
         half = rng.uniform(0.4, 0.8, 3)
         return {"half": half,
-                "rho": 0.0 if cls == "box" else 0.3 * half.min()}
+                "taper": 1.0 if cls == "box"
+                else rng.uniform(0.55, 0.72)}
     if cls in ("torus", "elltorus"):
         a = rng.uniform(0.16, 0.28)
         return {"R": rng.uniform(0.55, 0.8),
@@ -181,20 +188,23 @@ def _hard_params(cls: str, rng) -> dict:
 def _hard_f(cls: str, params: dict, q: np.ndarray) -> np.ndarray:
     """Smooth inside-function, f(q) < 0 inside the shape. [*, 3] -> [*]."""
     x, y, z = q[..., 0], q[..., 1], q[..., 2]
-    if cls in ("sphere", "superellipsoid"):
-        p = params["p"]
-        s = (np.abs(x) ** p + np.abs(y) ** p + np.abs(z) ** p)
-        return s ** (1.0 / p) - params["r"]
+    if cls in ("sphere", "ellipsoid"):
+        r, qy = params["r"], params["q"]
+        return np.sqrt(x**2 + (y / qy) ** 2 + z**2) - r
     if cls in ("cylinder", "barrel"):
         r, h, bulge = params["r"], params["h"], params["bulge"]
         rr = r * (1.0 + bulge * (1.0 - np.clip(y / h, -1, 1) ** 2))
         return np.maximum(np.sqrt(x**2 + z**2) - rr, np.abs(y) - h)
-    if cls in ("box", "roundbox"):
-        half, rho = params["half"], params["rho"]
-        d = np.abs(q) - half + rho
-        outside = np.sqrt((np.maximum(d, 0.0) ** 2).sum(-1))
-        inside = np.minimum(d.max(-1), 0.0)
-        return outside + inside - rho
+    if cls in ("box", "taperbox"):
+        half, taper = params["half"], params["taper"]
+        # x/z half-extents shrink linearly toward the +y face
+        s = 1.0 + (taper - 1.0) * np.clip(
+            (y + half[1]) / (2.0 * half[1]), 0.0, 1.0)
+        return np.maximum.reduce([
+            np.abs(x) - half[0] * s,
+            np.abs(y) - half[1],
+            np.abs(z) - half[2] * s,
+        ])
     if cls in ("torus", "elltorus"):
         R, ar, ay = params["R"], params["ar"], params["ay"]
         ring = np.sqrt(x**2 + z**2) - R
