@@ -269,6 +269,55 @@ def aggregate(all_results: list[dict]) -> dict:
     return out
 
 
+def write_report(summary: dict, args, path: str):
+    """Markdown accuracy matrix: one table per victim, rows = attacks,
+    columns = defended-accuracy cells (mean +- std over seeds)."""
+
+    def fmt(key):
+        v = summary.get(key)
+        if v is None:
+            return "—"
+        s = f"{100 * v['mean']:.1f}"
+        if v["n"] > 1:
+            s += f" ± {100 * v['std']:.1f}"
+        return s
+
+    defense_keys = []
+    for d in args.defenses:
+        if d == "convonet_opt" and len(args.opt_modes) > 1:
+            defense_keys += [f"convonet_opt:{m}" for m in args.opt_modes]
+        else:
+            defense_keys.append(d)
+
+    lines = [
+        "# Attack x defense accuracy matrix "
+        f"({len(args.seeds)} seed(s): {args.seeds})",
+        "",
+        f"Family: `{args.family}` synthetic "
+        f"({args.test_per_class * 8} test clouds/seed, "
+        f"{args.num_points} points). Accuracies in %, mean ± std over "
+        "seeds. Protocol = the reference's Tables 2-5 "
+        "(attack -> defend -> classify through the CLIs).",
+        "",
+    ]
+    for victim in args.victims:
+        lines.append(f"## {victim} (clean {fmt(f'{victim}/clean')})")
+        lines.append("")
+        hdr = ("| attack | success | attacked | "
+               + " | ".join(defense_keys) + " |")
+        lines.append(hdr)
+        lines.append("|" + "---|" * (3 + len(defense_keys)))
+        for attack in args.attacks:
+            base = f"{victim}/{attack}"
+            row = [attack, fmt(f"{base}/success_rate"),
+                   fmt(f"{base}/attacked")]
+            row += [fmt(f"{base}/{d}") for d in defense_keys]
+            lines.append("| " + " | ".join(row) + " |")
+        lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
@@ -278,6 +327,7 @@ def main(argv=None):
     summary = aggregate(all_results)
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    write_report(summary, args, os.path.join(args.out_dir, "RESULTS.md"))
     for k, v in summary.items():
         print(f"{k:55s} {v['mean']:.4f} +- {v['std']:.4f} (n={v['n']})")
     return summary
