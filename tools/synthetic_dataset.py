@@ -165,23 +165,28 @@ def _occupancy(cls: str, params: dict, q: np.ndarray) -> np.ndarray:
 def _hard_params(cls: str, rng) -> dict:
     """Randomised shape parameters; pair members share distributions so
     only the fine-scale geometry separates them."""
+    # pair-gap amplitudes tuned on the r3 runs: wide gaps made SOR
+    # sufficient for every attack (benchmark non-discriminative), the
+    # r1 edge-sharpness gaps made reconstruction itself flip pairs;
+    # these sit between — smooth differences a 64-plane ConvONet
+    # represents, small enough that pruning alone can't undo an attack
     if cls in ("sphere", "ellipsoid"):
         return {"r": rng.uniform(0.55, 0.95),
-                "q": 1.0 if cls == "sphere" else rng.uniform(0.72, 0.85)}
+                "q": 1.0 if cls == "sphere" else rng.uniform(0.78, 0.87)}
     if cls in ("cylinder", "barrel"):
         return {"r": rng.uniform(0.35, 0.6), "h": rng.uniform(0.55, 0.95),
                 "bulge": 0.0 if cls == "cylinder"
-                else rng.uniform(0.15, 0.25)}
+                else rng.uniform(0.12, 0.2)}
     if cls in ("box", "taperbox"):
         half = rng.uniform(0.4, 0.8, 3)
         return {"half": half,
                 "taper": 1.0 if cls == "box"
-                else rng.uniform(0.55, 0.72)}
+                else rng.uniform(0.64, 0.76)}
     if cls in ("torus", "elltorus"):
         a = rng.uniform(0.16, 0.28)
         return {"R": rng.uniform(0.55, 0.8),
-                "ar": a if cls == "torus" else 0.65 * a,
-                "ay": a if cls == "torus" else 1.5 * a}
+                "ar": a if cls == "torus" else 0.72 * a,
+                "ay": a if cls == "torus" else 1.38 * a}
     raise ValueError(cls)
 
 
@@ -302,8 +307,16 @@ def make_classification_npz(out_path, train_per_class, test_per_class,
                 pcs.append(pn.astype(np.float32))
                 labels.append(ci)
     n_test = len(test_label)
-    target = (np.array(test_label) + rng.integers(
-        1, len(classes), n_test)) % len(classes)
+    if family == "hard":
+        # targeted attacks aim at the CONFUSABLE PAIR PARTNER (classes
+        # 2i <-> 2i+1): a random target is usually geometrically
+        # unreachable within the attack budgets (observed: kNN targeted
+        # success capped near 1/7), and the pair gap is exactly what the
+        # discriminative benchmark is probing
+        target = np.array(test_label) ^ 1
+    else:
+        target = (np.array(test_label) + rng.integers(
+            1, len(classes), n_test)) % len(classes)
     np.savez_compressed(
         out_path,
         train_pc=np.stack(train_pc), train_label=np.array(train_label,
