@@ -193,6 +193,21 @@ def run_seed(args, seed: int) -> dict:
             return r
 
         for attack in args.attacks:
+            if attack == "clean":
+                # pseudo-attack: defenses applied to the CLEAN test set —
+                # each defense's fidelity tax (the reconstruction
+                # ceiling for the implicit variants)
+                ares = {"success_rate": 0.0, "attack_seconds": 0.0,
+                        "attacked": acc_of(cls_npz), "defended": {}}
+                for name, path in defended_paths(cls_npz, ckpt).items():
+                    dn = np.load(path)["test_pc"].shape[1]
+                    ares["defended"][name] = acc_of(path, dn)
+                vres["attacks"]["clean"] = ares
+                print(f"[seed {seed}] {victim} x clean: defended "
+                      + ", ".join(f"{k} {v['accuracy']:.3f}"
+                                  for k, v in ares["defended"].items()),
+                      flush=True)
+                continue
             extra = []
             if attack == "perturb":
                 extra = ["--binary_step", str(cw_steps[0]),
