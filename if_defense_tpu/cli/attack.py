@@ -79,6 +79,10 @@ def parse_args(argv=None):
                         "distance (faster on TPU, advisory graph)")
     # Drop params
     p.add_argument("--num_drop", type=int, default=200)
+    p.add_argument("--victim_dtype", default="float32",
+                   choices=["float32", "mixed"],
+                   help="mixed = bf16 victim trunk + f32 logits head "
+                        "(attack math stays f32; see attack/mixed.py)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--registry", default=None,
                    help="registry JSON for registry:<dataset> checkpoints")
@@ -199,13 +203,21 @@ def main(argv=None):
     mesh = best_data_mesh(args.batch_size)
     variables = replicate(variables, mesh)
 
-    def logits_fn(pc):
-        logits, _ = model.apply(variables, pc, train=False)
-        return logits
+    if args.victim_dtype == "mixed":
+        from if_defense_tpu.attack.mixed import make_mixed_logits_fn
 
-    def masked_logits_fn(pc, mask):
-        logits, _ = model.apply(variables, pc, train=False, mask=mask)
-        return logits
+        n_cls = getattr(model, "num_classes", 40)
+        logits_fn = make_mixed_logits_fn(model, variables, n_cls)
+        masked_logits_fn = make_mixed_logits_fn(
+            model, variables, n_cls, masked=True)
+    else:
+        def logits_fn(pc):
+            logits, _ = model.apply(variables, pc, train=False)
+            return logits
+
+        def masked_logits_fn(pc, mask):
+            logits, _ = model.apply(variables, pc, train=False, mask=mask)
+            return logits
 
     run, mode = build_attack(args, logits_fn, masked_logits_fn)
 

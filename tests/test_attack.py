@@ -146,3 +146,36 @@ def test_dbscan_two_blobs():
     assert len(set(labels[:20])) == 1
     assert len(set(labels[20:])) == 1
     assert labels[0] != labels[20]
+
+
+def test_mixed_precision_victim_close_to_f32():
+    """bf16-trunk/f32-head victim (attack/mixed.py): logits match f32
+    within bf16 trunk tolerance, head params stay f32."""
+    import jax.numpy as jnp
+
+    from if_defense_tpu.attack.mixed import (
+        cast_trunk_bf16,
+        make_mixed_logits_fn,
+    )
+    from if_defense_tpu.models import build_model
+    from if_defense_tpu.training import create_train_state, eval_variables
+
+    model = build_model("pointnet", num_classes=8)
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(rng.normal(size=(4, 64, 3)), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), pc)
+    variables = eval_variables(state)
+
+    f32_logits = model.apply(variables, pc, train=False)[0]
+    mixed = make_mixed_logits_fn(model, variables, 8)(pc)
+    assert mixed.dtype == jnp.float32
+    rel = np.abs(np.asarray(f32_logits) - np.asarray(mixed)).max() / (
+        np.abs(np.asarray(f32_logits)).max() + 1e-9)
+    assert rel < 0.02
+
+    cv = cast_trunk_bf16(variables, 8)
+    flat = jax.tree_util.tree_leaves_with_path(cv["params"])
+    kept = {"/".join(str(getattr(p, "key", "?")) for p in path)
+            for path, x in flat if x.dtype == jnp.float32}
+    assert any(k.endswith("kernel") and "Dense" in k for k in kept)
+    assert sum(1 for _, x in flat if x.dtype == jnp.bfloat16) > 10
