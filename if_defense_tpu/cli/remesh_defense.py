@@ -141,11 +141,27 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
             meta = sparse_fn.sparse_meta
             out_dev = sparse_fn(variables, c)
             out_np = {k: np.asarray(v) for k, v in out_dev.items()}
+            dense_cache = []                  # lazy per-batch fallback
+
             for b in range(B):
                 def one(b=b):
-                    vol = assemble_sparse_grid(
-                        out_np, b, block=meta["block"], nb=meta["nb"],
-                        rp=meta["rp"])
+                    try:
+                        vol = assemble_sparse_grid(
+                            out_np, b, block=meta["block"],
+                            nb=meta["nb"], rp=meta["rp"])
+                    except RuntimeError:
+                        # block budget clipped (noisy field with
+                        # surface everywhere): dense int8 wire for this
+                        # batch — same samples, full transfer
+                        if not dense_cache:
+                            print("WARNING: sparse wire clipped "
+                                  f"(n_need {out_np['n_need'].max()} > "
+                                  f"{meta['M']}); dense fallback — "
+                                  "raise --sparse_blocks")
+                            dense_cache.append(compute_value_grids(
+                                decode_fn, variables, c, **gen_kwargs,
+                            )[0])
+                        vol = dense_cache[0][b]
                     return sample_value_grid(
                         vol, meta["iso"], box, args.sample_npoint,
                         seed=int(rng.integers(2**62)) + b)

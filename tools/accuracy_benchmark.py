@@ -164,6 +164,10 @@ def run_seed(args, seed: int) -> dict:
                     "--weights", implicit_weights[variant],
                     "--batch_size", str(args.batch_size),
                     "--seed", str(seed),
+                    # sparse wire: bit-identical to int8, ~40x less
+                    # transfer (plane-latent ConvONet only)
+                    *(["--wire", "sparse"] if variant == "convonet"
+                      else ["--compute_dtype", "bfloat16"]),
                     *(["--resolution0", "16", "--upsample", "2"]
                       if args.fast else []),
                 ])
