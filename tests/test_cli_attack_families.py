@@ -37,6 +37,8 @@ def victim(tmp_path_factory):
         "--num_points", str(N_POINTS), "--epochs", "2",
         "--batch_size", str(BATCH), "--eval_every", "1",
         "--output", run_dir,
+        # keep the checked-in default weights/registry.json untouched
+        "--registry", str(out / "registry.json"),
     ])
     return dict(out=out, data=data, ckpt=os.path.join(run_dir, "best"))
 

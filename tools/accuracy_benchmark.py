@@ -75,6 +75,8 @@ def parse_args(argv=None):
     p.add_argument("--num_drop", type=int, default=200)
     p.add_argument("--fast", action="store_true",
                    help="tiny sizes for smoke iteration")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse seed<k>/results.json where it exists")
     return p.parse_args(argv)
 
 
@@ -342,6 +344,13 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     all_results = []
     for seed in args.seeds:
+        done = os.path.join(args.out_dir, f"seed{seed}", "results.json")
+        if args.resume and os.path.exists(done):
+            with open(done) as f:
+                prior = json.load(f)
+            print(f"[seed {seed}] resume: loaded {done}")
+            all_results.append(prior)
+            continue
         all_results.append(run_seed(args, seed))
     summary = aggregate(all_results)
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:

@@ -30,7 +30,15 @@ def main(argv=None):
         if "tools" in os.path.abspath(__file__) else ".",
         "BENCH_MESH.json"))
     p.add_argument("--skip_onet", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force host CPU (the axon sitecustomize pre-pins "
+                        "the TPU platform; env vars alone don't switch)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from if_defense_tpu.data import save_npz
     from if_defense_tpu.cli import remesh_defense
