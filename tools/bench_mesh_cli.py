@@ -30,6 +30,10 @@ def main(argv=None):
         if "tools" in os.path.abspath(__file__) else ".",
         "BENCH_MESH.json"))
     p.add_argument("--skip_onet", action="store_true")
+    p.add_argument("--train_steps", type=int, default=1500,
+                   help="implicit-net pretrain steps (keep small for "
+                        "CPU smokes; ~1500 on-chip gives shape-like "
+                        "surfaces — see comment below)")
     p.add_argument("--cpu", action="store_true",
                    help="force host CPU (the axon sitecustomize pre-pins "
                         "the TPU platform; env vars alone don't switch)")
@@ -62,10 +66,12 @@ def main(argv=None):
                              surface_n=1024, query_n=2048, seed=1)
     weights = {}
     for name in ("convonet", "onet"):
+        steps = str(args.train_steps)
         weights[name] = timpl_main([
-            "--variant", name, "--data", occ, "--steps", "1500",
-            "--batch_size", "16", "--log_every", "750",
-            "--save_every", "1500",
+            "--variant", name, "--data", occ, "--steps", steps,
+            "--batch_size", "16",
+            "--log_every", str(max(args.train_steps // 2, 1)),
+            "--save_every", steps,
             "--output", os.path.join(tmp, name + "_w")])
 
     def run(tag, argv_extra):
