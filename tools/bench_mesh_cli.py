@@ -34,6 +34,9 @@ def main(argv=None):
                    help="implicit-net pretrain steps (keep small for "
                         "CPU smokes; ~1500 on-chip gives shape-like "
                         "surfaces — see comment below)")
+    p.add_argument("--reuse_dir", default=None,
+                   help="existing bench tmp dir (clouds.npz + trained "
+                        "*_w.npz) — skips data gen + training")
     p.add_argument("--cpu", action="store_true",
                    help="force host CPU (the axon sitecustomize pre-pins "
                         "the TPU platform; env vars alone don't switch)")
@@ -49,37 +52,50 @@ def main(argv=None):
     from if_defense_tpu.cli.train_implicit import main as timpl_main
     from tools.synthetic_dataset import make_occupancy_npz
 
-    tmp = tempfile.mkdtemp(prefix="bench_mesh_")
-    rng = np.random.default_rng(0)
-    # sphere-ish clouds -> non-trivial surfaces
-    pts = rng.normal(size=(args.clouds, 1024, 3)).astype(np.float32)
-    pts /= np.linalg.norm(pts, axis=-1, keepdims=True) * 3.0
+    tmp = args.reuse_dir or tempfile.mkdtemp(prefix="bench_mesh_")
     data = os.path.join(tmp, "clouds.npz")
-    save_npz(data, {"test_pc": pts,
-                    "test_label": np.zeros(args.clouds, np.int64)})
+    weights = {name: os.path.join(tmp, name + "_w.npz")
+               for name in ("convonet", "onet")}
+    if not (args.reuse_dir and os.path.exists(data)):
+        rng = np.random.default_rng(0)
+        # sphere-ish clouds -> non-trivial surfaces
+        pts = rng.normal(size=(args.clouds, 1024, 3)).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True) * 3.0
+        save_npz(data, {"test_pc": pts,
+                        "test_label": np.zeros(args.clouds, np.int64)})
 
-    # briefly-trained implicit nets: a RANDOM decoder's occupancy field
-    # is noise — surface-adjacent blocks cover half the lattice, which
-    # both defeats the sparse wire and makes marching cost
-    # unrepresentative. ~1500 steps gives compact, shape-like surfaces.
-    occ = make_occupancy_npz(os.path.join(tmp, "occ.npz"), per_class=20,
-                             surface_n=1024, query_n=2048, seed=1)
-    weights = {}
-    for name in ("convonet", "onet"):
-        steps = str(args.train_steps)
-        weights[name] = timpl_main([
-            "--variant", name, "--data", occ, "--steps", steps,
-            "--batch_size", "16",
-            "--log_every", str(max(args.train_steps // 2, 1)),
-            "--save_every", steps,
-            "--output", os.path.join(tmp, name + "_w")])
+        # briefly-trained implicit nets: a RANDOM decoder's occupancy
+        # field is noise — surface-adjacent blocks cover half the
+        # lattice, which both defeats the sparse wire and makes marching
+        # cost unrepresentative. ~1500 steps gives compact, shape-like
+        # surfaces.
+        occ = make_occupancy_npz(
+            os.path.join(tmp, "occ.npz"), per_class=20,
+            surface_n=1024, query_n=2048, seed=1)
+        for name in ("convonet", "onet"):
+            steps = str(args.train_steps)
+            weights[name] = timpl_main([
+                "--variant", name, "--data", occ, "--steps", steps,
+                "--batch_size", "16",
+                "--log_every", str(max(args.train_steps // 2, 1)),
+                "--save_every", steps,
+                "--output", os.path.join(tmp, name + "_w")])
 
     def run(tag, argv_extra):
-        out, = remesh_defense.main(argv_extra)
-        rec = json.loads(open(out + ".metrics.jsonl").readlines()[-1])
-        os.remove(out)
-        print(f"{tag}: {rec['clouds_per_sec']:.2f} clouds/s "
-              f"({rec['clouds']} clouds, {rec['seconds']:.1f}s)")
+        """Two passes per config: pass 1 pays every jit compile (the
+        cold number), pass 2 is steady state — the deploy-relevant
+        figure (a production defense run amortises compile over the
+        whole dataset; compile through the axon remote-compile tunnel
+        is also ~10x a real host's)."""
+        rec = None
+        for phase in ("cold", "steady"):
+            out, = remesh_defense.main(argv_extra)
+            rec = json.loads(
+                open(out + ".metrics.jsonl").readlines()[-1])
+            os.remove(out)
+            print(f"{tag} [{phase}]: {rec['clouds_per_sec']:.2f} "
+                  f"clouds/s ({rec['clouds']} clouds, "
+                  f"{rec['seconds']:.1f}s)", flush=True)
         return round(rec["clouds_per_sec"], 2)
 
     results = {}
