@@ -192,6 +192,50 @@ def test_sparse_wire_matches_dense_int8():
     assert crossings > 0  # the random field must actually have surface
 
 
+def test_sparse_wire_adaptive_bucket_and_cap():
+    """The uncapped sparse wire sizes its transfer to the batch's actual
+    active-block count (next power of two, floor 64, ceil nb^3) — no
+    static budget to tune, no clipping. A user cap below the need still
+    raises in assemble_sparse_grid."""
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.implicit.generation import (
+        assemble_sparse_grid,
+        make_convonet_sparse_eval,
+    )
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    rng = np.random.default_rng(12)
+    init_pc = jnp.zeros((2, 32, 3))
+    variables = model.init(jax.random.key(4), init_pc, init_pc)
+    pc = jnp.asarray(rng.uniform(-0.4, 0.4, (2, 64, 3)), jnp.float32)
+    c = model.apply(variables, pc, method="encode_inputs")
+
+    rf, box, thr = 16, 1.1, 0.2
+    sparse_fn = make_convonet_sparse_eval(model, rf, box, thr, block=4)
+    meta = sparse_fn.sparse_meta
+    out = sparse_fn(variables, c)
+    need = int(np.asarray(out["n_need"]).max())
+    m = out["blocks"].shape[1]
+    nb3 = meta["nb"] ** 3
+    assert need <= m <= nb3          # budget always fits the need
+    if need > 0:
+        assert m <= max(64, 2 * need)  # ...and doesn't grossly overshoot
+    # every genuinely needed block made it into the gathered set
+    for b in range(2):
+        assemble_sparse_grid(out, b, block=meta["block"],
+                             nb=meta["nb"], rp=meta["rp"])
+
+    # a hard cap below the need must surface as the documented error
+    if need > 1:
+        capped = make_convonet_sparse_eval(model, rf, box, thr, block=4,
+                                           max_blocks=need - 1)
+        out_c = capped(variables, c)
+        worst = int(np.argmax(np.asarray(out_c["n_need"])))
+        with pytest.raises(RuntimeError, match="sparse wire clipped"):
+            assemble_sparse_grid(out_c, worst, block=meta["block"],
+                                 nb=meta["nb"], rp=meta["rp"])
+
+
 def test_sample_value_grid_degenerate_raises():
     from if_defense_tpu.implicit.generation import sample_value_grid
 
