@@ -351,19 +351,18 @@ def assemble_sparse_grid(out_b: dict, b: int, *, block: int, nb: int,
         raise RuntimeError(
             f"sparse wire clipped: {n_need} active blocks > budget "
             f"{len(idx)} — raise max_blocks")
-    inside = np.asarray(out_b["inside"][b]).reshape(nb, nb, nb)
-    vol = np.where(inside, np.int8(1), np.int8(-1))
-    vol = vol.repeat(block, 0).repeat(block, 1).repeat(block, 2)
+    inside = np.asarray(out_b["inside"][b]).reshape(-1)
+    # block-major layout [nb^3, block^3]: the filler broadcast and the
+    # active-block fill are both single vectorised writes
+    volb = np.where(inside, np.int8(1), np.int8(-1))[:, None]
+    volb = np.broadcast_to(volb, (nb**3, block**3)).copy()
     blocks = np.asarray(out_b["blocks"][b])            # [M, block^3]
     valid = idx >= 0
-    ids = idx[valid]
-    bx, rem = np.divmod(ids, nb * nb)
-    by, bz = np.divmod(rem, nb)
-    vals = blocks[valid].reshape(-1, block, block, block)
-    for i in range(len(ids)):
-        x0, y0, z0 = bx[i] * block, by[i] * block, bz[i] * block
-        vol[x0:x0 + block, y0:y0 + block, z0:z0 + block] = vals[i]
-    return vol[:rp, :rp, :rp]
+    volb[idx[valid]] = blocks[valid]
+    vol = volb.reshape(nb, nb, nb, block, block, block)
+    vol = vol.transpose(0, 3, 1, 4, 2, 5).reshape(
+        nb * block, nb * block, nb * block)
+    return np.ascontiguousarray(vol[:rp, :rp, :rp])
 
 
 def active_voxel_refinement(

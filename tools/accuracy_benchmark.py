@@ -60,6 +60,9 @@ def parse_args(argv=None):
     p.add_argument("--opt_modes", nargs="+", default=["bf16_r16"],
                    help="ConvONet-Opt precision/fast-path modes "
                         f"({sorted(OPT_MODE_FLAGS)})")
+    p.add_argument("--onet_modes", nargs="+", default=["f32"],
+                   help="ONet-Opt precision modes (f32/bf16 only — the "
+                        "corner cache is plane-latent ConvONet-specific)")
     p.add_argument("--family", default="hard", choices=["easy", "hard"])
     p.add_argument("--train_per_class", type=int, default=150)
     p.add_argument("--test_per_class", type=int, default=40)
@@ -142,7 +145,8 @@ def run_seed(args, seed: int) -> dict:
                 out[d] = path
             elif d in ("convonet_opt", "onet_opt"):
                 variant = d.split("_")[0]
-                modes = args.opt_modes if variant == "convonet" else ["f32"]
+                modes = (args.opt_modes if variant == "convonet"
+                         else args.onet_modes)
                 for mode in modes:
                     path, = opt_main([
                         "--variant", variant, "--data_root", adv_path,
@@ -307,6 +311,8 @@ def write_report(summary: dict, args, path: str):
     for d in args.defenses:
         if d == "convonet_opt" and len(args.opt_modes) > 1:
             defense_keys += [f"convonet_opt:{m}" for m in args.opt_modes]
+        elif d == "onet_opt" and len(args.onet_modes) > 1:
+            defense_keys += [f"onet_opt:{m}" for m in args.onet_modes]
         else:
             defense_keys.append(d)
 
