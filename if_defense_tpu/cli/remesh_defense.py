@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import threading
 import time
 
 import jax
@@ -85,6 +86,13 @@ def parse_args(argv=None):
                         "surface geometry); mesh = build the indexed "
                         "mesh then area-sample it (reference shape: "
                         "`ONet/remesh_defense.py:151-171`)")
+    p.add_argument("--host_workers", type=int, default=0,
+                   help="threads for the per-cloud host marching+"
+                        "sampling loop (direct mode; the native kernel "
+                        "releases the GIL and is stateless, so this "
+                        "scales with host cores). 0 = one per core; "
+                        "per-cloud seeds are fixed up front, so the "
+                        "output is worker-count independent")
     return p.parse_args(argv)
 
 
@@ -142,6 +150,10 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
             out_dev = sparse_fn(variables, c)
             out_np = {k: np.asarray(v) for k, v in out_dev.items()}
             dense_cache = []                  # lazy per-batch fallback
+            fallback_lock = threading.Lock()
+            # seeds drawn up front in b order: per-cloud output is
+            # independent of the thread execution order below
+            seeds = [int(rng.integers(2**62)) + b for b in range(B)]
 
             for b in range(B):
                 def one(b=b):
@@ -153,26 +165,29 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
                         # block budget clipped (noisy field with
                         # surface everywhere): dense int8 wire for this
                         # batch — same samples, full transfer
-                        if not dense_cache:
-                            print("WARNING: sparse wire clipped "
-                                  f"(n_need {out_np['n_need'].max()} > "
-                                  f"{meta['M']}); dense fallback — "
-                                  "raise --sparse_blocks")
-                            dense_cache.append(compute_value_grids(
-                                decode_fn, variables, c, **gen_kwargs,
-                            )[0])
+                        with fallback_lock:
+                            if not dense_cache:
+                                print("WARNING: sparse wire clipped "
+                                      f"(n_need "
+                                      f"{out_np['n_need'].max()} > "
+                                      f"{meta['M']}); dense fallback — "
+                                      "raise --sparse_blocks")
+                                dense_cache.append(compute_value_grids(
+                                    decode_fn, variables, c,
+                                    **gen_kwargs,
+                                )[0])
                         vol = dense_cache[0][b]
                     return sample_value_grid(
                         vol, meta["iso"], box, args.sample_npoint,
-                        seed=int(rng.integers(2**62)) + b)
+                        seed=seeds[b])
                 yield one
         elif args.sample_mode == "direct":
             values, iso = compute_value_grids(
                 decode_fn, variables, c, **gen_kwargs)
+            seeds = [int(rng.integers(2**62)) + b for b in range(B)]
             for b in range(B):
-                yield (lambda vb=values[b], s=b: sample_value_grid(
-                    vb, iso, box, args.sample_npoint,
-                    seed=int(rng.integers(2**62)) + s))
+                yield (lambda vb=values[b], s=seeds[b]: sample_value_grid(
+                    vb, iso, box, args.sample_npoint, seed=s))
         else:
             meshes = generate_meshes(decode_fn, variables, c,
                                      **gen_kwargs)
@@ -184,10 +199,26 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
     mask_np = np.asarray(mask) > 0.5
     out = np.zeros((B, args.sample_npoint, 3), np.float32)
     failed = np.zeros(B, bool)
-    for b, sample_fn in enumerate(sample_cloud_fns()):
+
+    def run_one(fn):
         try:
-            pts = sample_fn()
+            return fn()
         except ValueError:
+            return None                        # degenerate surface
+
+    workers = args.host_workers or (os.cpu_count() or 1)
+    if workers > 1 and args.sample_mode == "direct":
+        # the native sampler is stateless and releases the GIL; seeds
+        # are pre-drawn, so results don't depend on execution order
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            samples = list(ex.map(run_one, sample_cloud_fns()))
+    else:
+        samples = [run_one(fn) for fn in sample_cloud_fns()]
+
+    for b, pts in enumerate(samples):
+        if pts is None:
             # reconstruction failed: fall back to resampling the input
             # (remesh_defense.py:159-170)
             failed[b] = True
