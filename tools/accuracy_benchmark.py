@@ -80,6 +80,12 @@ def parse_args(argv=None):
                    help="tiny sizes for smoke iteration")
     p.add_argument("--resume", action="store_true",
                    help="reuse seed<k>/results.json where it exists")
+    p.add_argument("--reuse_artifacts", action="store_true",
+                   help="skip any producer (victim/implicit training, "
+                        "attack, defense) whose output file already "
+                        "exists under out_dir — resumes an interrupted "
+                        "matrix run at cell granularity; scoring always "
+                        "re-runs (cheap)")
     return p.parse_args(argv)
 
 
@@ -123,22 +129,44 @@ def run_seed(args, seed: int) -> dict:
     for variant, needed in (("convonet", need_conv), ("onet", need_onet)):
         if not needed:
             continue
+        w_out = os.path.join(sd, f"{variant}_w")
+        if args.reuse_artifacts and os.path.exists(w_out + ".npz"):
+            print(f"[seed {seed}] reuse implicit weights {w_out}.npz",
+                  flush=True)
+            implicit_weights[variant] = w_out + ".npz"
+            continue
         implicit_weights[variant] = timpl_main([
             "--variant", variant, "--data", occ_npz,
             "--steps", str(occ_steps), "--batch_size", "16",
             "--log_every", str(max(occ_steps // 10, 1)),
             "--save_every", str(occ_steps),
             "--seed", str(seed),
-            "--output", os.path.join(sd, f"{variant}_w"),
+            "--output", w_out,
         ])
+
+    from if_defense_tpu.cli.opt_defense import get_save_name as opt_name
+    from if_defense_tpu.cli.remesh_defense import (
+        get_save_name as remesh_name)
+
+    def reuse(path):
+        if args.reuse_artifacts and os.path.exists(path):
+            print(f"[seed {seed}] reuse {path}", flush=True)
+            return True
+        return False
 
     def defended_paths(adv_path, victim_ckpt):
         """name -> defended npz path for every requested defense."""
         out = {}
+        adv_dir = os.path.dirname(os.path.abspath(adv_path))
         for d in args.defenses:
             if d == "none":
                 out["none"] = adv_path
             elif d in ("srs", "sor", "dup"):
+                pred = os.path.join(
+                    adv_dir, d, f"{d}_{os.path.basename(adv_path)}")
+                if reuse(pred):
+                    out[d] = pred
+                    continue
                 path, = defend_main([
                     "--data_root", adv_path, "--defense", d,
                     "--batch_size", str(args.batch_size)])
@@ -148,6 +176,13 @@ def run_seed(args, seed: int) -> dict:
                 modes = (args.opt_modes if variant == "convonet"
                          else args.onet_modes)
                 for mode in modes:
+                    key = d if len(modes) == 1 else f"{d}:{mode}"
+                    pred = opt_name(adv_path, variant)
+                    if len(modes) > 1:
+                        pred = pred.replace(".npz", f".{mode}.npz")
+                    if reuse(pred):
+                        out[key] = pred
+                        continue
                     path, = opt_main([
                         "--variant", variant, "--data_root", adv_path,
                         "--weights", implicit_weights[variant],
@@ -156,7 +191,6 @@ def run_seed(args, seed: int) -> dict:
                         "--seed", str(seed),
                         *OPT_MODE_FLAGS[mode],
                     ])
-                    key = d if len(modes) == 1 else f"{d}:{mode}"
                     out[key] = path
                     if len(modes) > 1:
                         # distinct copies: opt_main overwrites per variant
@@ -165,6 +199,10 @@ def run_seed(args, seed: int) -> dict:
                         out[key] = keyed
             elif d in ("convonet_mesh", "onet_mesh"):
                 variant = d.split("_")[0]
+                pred = remesh_name(adv_path, variant)
+                if reuse(pred):
+                    out[d] = pred
+                    continue
                 path, = remesh_main([
                     "--variant", variant, "--data_root", adv_path,
                     "--weights", implicit_weights[variant],
@@ -185,12 +223,23 @@ def run_seed(args, seed: int) -> dict:
     for victim in args.victims:
         vdir = os.path.join(sd, victim)
         t0 = time.time()
-        clean_best = train_main([
-            "--data", cls_npz, "--model", victim,
-            "--num_points", str(args.num_points), "--epochs", str(epochs),
-            "--batch_size", "32", "--eval_every", str(max(epochs // 8, 1)),
-            "--output", vdir, "--seed", str(seed),
-        ])
+        meta_p = os.path.join(vdir, "best.meta.json")
+        if args.reuse_artifacts and os.path.exists(meta_p):
+            with open(meta_p) as f:
+                clean_best = float(json.load(f)["acc"])
+            print(f"[seed {seed}] reuse victim checkpoint {vdir}/best "
+                  f"(clean acc {clean_best:.3f})", flush=True)
+        else:
+            clean_best = train_main([
+                "--data", cls_npz, "--model", victim,
+                "--num_points", str(args.num_points),
+                "--epochs", str(epochs),
+                "--batch_size", "32",
+                "--eval_every", str(max(epochs // 8, 1)),
+                "--output", vdir, "--seed", str(seed),
+                # keep the checked-in weights/registry.json untouched
+                "--registry", os.path.join(sd, "registry.json"),
+            ])
         ckpt = os.path.join(vdir, "best")
         vres = {"clean_accuracy": clean_best,
                 "train_seconds": time.time() - t0, "attacks": {}}
@@ -231,16 +280,25 @@ def run_seed(args, seed: int) -> dict:
             elif attack == "drop":
                 extra = ["--num_drop", str(num_drop)]
             t0 = time.time()
-            adv_path, rate = attack_main([
-                "--attack", attack, "--data", cls_npz,
-                "--checkpoint", ckpt,
-                "--num_points", str(args.num_points),
-                "--batch_size", str(args.batch_size),
-                "--seed", str(seed),
-                "--output", os.path.join(
-                    vdir, f"{attack}-{victim}.npz"),
-                *extra,
-            ])
+            adv_out = os.path.join(vdir, f"{attack}-{victim}.npz")
+            if (args.reuse_artifacts and os.path.exists(adv_out)
+                    and os.path.exists(adv_out + ".metrics.jsonl")):
+                with open(adv_out + ".metrics.jsonl") as f:
+                    rate = float(
+                        json.loads(f.readlines()[-1])["success_rate"])
+                adv_path = adv_out
+                print(f"[seed {seed}] reuse attack {adv_out} "
+                      f"(success {rate:.3f})", flush=True)
+            else:
+                adv_path, rate = attack_main([
+                    "--attack", attack, "--data", cls_npz,
+                    "--checkpoint", ckpt,
+                    "--num_points", str(args.num_points),
+                    "--batch_size", str(args.batch_size),
+                    "--seed", str(seed),
+                    "--output", adv_out,
+                    *extra,
+                ])
             ares = {"success_rate": rate,
                     "attack_seconds": time.time() - t0}
             # Add-family outputs carry extra points
