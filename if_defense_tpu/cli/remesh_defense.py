@@ -77,8 +77,10 @@ def parse_args(argv=None):
                         "--sample_mode direct)")
     p.add_argument("--sparse_blocks", type=int, default=None,
                    help="static per-cloud active-block budget for "
-                        "--wire sparse (default (nb^3)/4; raise if the "
-                        "CLI reports clipping)")
+                        "--wire sparse (default: adaptive — the gather "
+                        "jits per power-of-two bucket of the detected "
+                        "count, uncapped; set a fixed budget to pin one "
+                        "jit signature)")
     p.add_argument("--sample_mode", default="direct",
                    choices=["direct", "mesh"],
                    help="direct = fused native marching+sampling (no "
@@ -151,9 +153,10 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
             out_np = {k: np.asarray(v) for k, v in out_dev.items()}
             dense_cache = []                  # lazy per-batch fallback
             fallback_lock = threading.Lock()
-            # seeds drawn up front in b order: per-cloud output is
+            # one base draw + per-cloud offset, fixed up front: output is
             # independent of the thread execution order below
-            seeds = [int(rng.integers(2**62)) + b for b in range(B)]
+            base = int(rng.integers(2**62))
+            seeds = [base + b for b in range(B)]
 
             for b in range(B):
                 def one(b=b):
@@ -172,9 +175,14 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
                                       f"{out_np['n_need'].max()} > "
                                       f"{meta['M']}); dense fallback — "
                                       "raise --sparse_blocks")
+                                # int8 wire, NOT args.wire=="sparse"
+                                # (which compute_value_grids would treat
+                                # as bf16): keeps the fallback batch's
+                                # samples identical to the sparse wire's
+                                # int8 quantisation contract
                                 dense_cache.append(compute_value_grids(
                                     decode_fn, variables, c,
-                                    **gen_kwargs,
+                                    **{**gen_kwargs, "wire": "int8"},
                                 )[0])
                         vol = dense_cache[0][b]
                     return sample_value_grid(
@@ -184,7 +192,8 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
         elif args.sample_mode == "direct":
             values, iso = compute_value_grids(
                 decode_fn, variables, c, **gen_kwargs)
-            seeds = [int(rng.integers(2**62)) + b for b in range(B)]
+            base = int(rng.integers(2**62))
+            seeds = [base + b for b in range(B)]
             for b in range(B):
                 yield (lambda vb=values[b], s=seeds[b]: sample_value_grid(
                     vb, iso, box, args.sample_npoint, seed=s))
@@ -289,7 +298,9 @@ def main(argv=None):
         # same box the generate_meshes query grid uses (1 + padding)
         dense_fn = make_convonet_dense_eval(
             model, args.resolution0 * args.upsample, 1.0 + DEFAULT_PADDING)
-        if args.compute_dtype is not None:
+        # dense_fn is None for non-3-plane latents — there the
+        # coarse+refine path runs and DOES honour --compute_dtype
+        if args.compute_dtype is not None and dense_fn is not None:
             print("WARNING: --compute_dtype is a no-op on the ConvONet "
                   "dense-lattice path (evaluation precision is set by the "
                   "lattice evaluator; use --wire int8 to compact the "

@@ -178,4 +178,10 @@ def test_mixed_precision_victim_close_to_f32():
     kept = {"/".join(str(getattr(p, "key", "?")) for p in path)
             for path, x in flat if x.dtype == jnp.float32}
     assert any(k.endswith("kernel") and "Dense" in k for k in kept)
+    # ONLY the head Dense stays f32 — an f32 BatchNorm would promote
+    # every activation after it back to f32 and kill the bf16 trunk
+    assert len(kept) == 2 and all(
+        k.endswith(("kernel", "bias")) for k in kept), kept
     assert sum(1 for _, x in flat if x.dtype == jnp.bfloat16) > 10
+    bs = jax.tree_util.tree_leaves(cv["batch_stats"])
+    assert all(x.dtype == jnp.bfloat16 for x in bs)

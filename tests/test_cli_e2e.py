@@ -245,3 +245,30 @@ def test_remesh_defense_output(chain):
     assert os.path.exists(metrics)
     rec = json.loads(open(metrics).readline())
     assert rec["variant"] == "convonet-mesh"
+
+
+def test_sparse_clip_fallback_matches_int8(chain, tmp_path):
+    """A clipped sparse wire (1-block budget -> every cloud falls back)
+    must reproduce the int8 wire's samples EXACTLY: the fallback grid
+    goes through the same int8 quantiser, not the bf16 wire."""
+    import shutil
+
+    from if_defense_tpu.cli.remesh_defense import main as remesh_main
+    from if_defense_tpu.data import load_npz
+
+    src = str(tmp_path / "adv.npz")
+    shutil.copy(chain["adv_path"], src)
+    weights = str(chain["out"] / "convonet_rand.npz")
+    common = [
+        "--variant", "convonet", "--data_root", src,
+        "--weights", weights, "--batch_size", str(BATCH),
+        "--resolution0", "8", "--upsample", "2",
+        "--input_npoint", "32", "--sample_npoint", "64",
+    ]
+    int8_path, = remesh_main([*common, "--wire", "int8"])
+    int8_pc = load_npz(int8_path).test_pc.copy()
+    # same save name: capture int8 output above before it is overwritten
+    sparse_path, = remesh_main(
+        [*common, "--wire", "sparse", "--sparse_blocks", "1"])
+    assert sparse_path == int8_path
+    np.testing.assert_array_equal(load_npz(sparse_path).test_pc, int8_pc)

@@ -154,8 +154,13 @@ def run_seed(args, seed: int) -> dict:
             return True
         return False
 
-    def defended_paths(adv_path, victim_ckpt):
-        """name -> defended npz path for every requested defense."""
+    def defended_paths(adv_path):
+        """name -> defended npz path for every requested defense.
+
+        Depends only on the input npz (defenses are victim-agnostic);
+        with --reuse_artifacts the same defended files are shared
+        across victims for the clean row.
+        """
         out = {}
         adv_dir = os.path.dirname(os.path.abspath(adv_path))
         for d in args.defenses:
@@ -258,7 +263,7 @@ def run_seed(args, seed: int) -> dict:
                 # ceiling for the implicit variants)
                 ares = {"success_rate": 0.0, "attack_seconds": 0.0,
                         "attacked": acc_of(cls_npz), "defended": {}}
-                for name, path in defended_paths(cls_npz, ckpt).items():
+                for name, path in defended_paths(cls_npz).items():
                     dn = np.load(path)["test_pc"].shape[1]
                     ares["defended"][name] = acc_of(path, dn)
                 vres["attacks"]["clean"] = ares
@@ -305,7 +310,7 @@ def run_seed(args, seed: int) -> dict:
             n_pts = np.load(adv_path)["test_pc"].shape[1]
             ares["attacked"] = acc_of(adv_path, n_pts)
             ares["defended"] = {}
-            for name, path in defended_paths(adv_path, ckpt).items():
+            for name, path in defended_paths(adv_path).items():
                 dn = np.load(path)["test_pc"].shape[1]
                 t0 = time.time()
                 r = acc_of(path, dn)

@@ -139,11 +139,6 @@ if __name__ == "__main__":
                 return G.quantize_wire_int8(v, iso)
             return v.astype(jnp.bfloat16)
 
-        def from_wire(q):
-            if args.wire == "int8":
-                return G.dequantize_wire_int8(q, iso)
-            return np.asarray(q).astype(np.float32)
-
         vals_dev = to_wire(dense_fn(variables, c))
         sync(vals_dev)                                # incl. compile
         t0 = time.perf_counter()
@@ -154,7 +149,7 @@ if __name__ == "__main__":
         t2 = time.perf_counter()
         nbytes = vals_dev.size * vals_dev.dtype.itemsize
         if args.sample_mode == "direct":
-            t0 = time.perf_counter()
+            t_s = time.perf_counter()
             n_ok = 0
             for b in range(B):
                 try:
@@ -167,7 +162,7 @@ if __name__ == "__main__":
                     pass
             print(f"dense eval:        {t1-t0:7.2f} s; transfer "
                   f"{t2-t1:7.2f} s ({nbytes/1e6:.0f} MB {args.wire}); "
-                  f"direct sample {time.perf_counter()-t0:7.2f} s "
+                  f"direct sample {time.perf_counter()-t_s:7.2f} s "
                   f"({n_ok}/{B} ok)")
             raise SystemExit(0)
         fine = (G.dequantize_wire_int8(raw, iso)
