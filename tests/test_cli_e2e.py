@@ -272,3 +272,28 @@ def test_sparse_clip_fallback_matches_int8(chain, tmp_path):
         [*common, "--wire", "sparse", "--sparse_blocks", "1"])
     assert sparse_path == int8_path
     np.testing.assert_array_equal(load_npz(sparse_path).test_pc, int8_pc)
+
+
+def test_threaded_host_sampling_matches_serial(chain, tmp_path):
+    """--host_workers N must be output-equivalent to serial: per-cloud
+    seeds are drawn up front, so the thread pool cannot change results."""
+    import shutil
+
+    from if_defense_tpu.cli.remesh_defense import main as remesh_main
+    from if_defense_tpu.data import load_npz
+
+    src = str(tmp_path / "adv.npz")
+    shutil.copy(chain["adv_path"], src)
+    weights = str(chain["out"] / "convonet_rand.npz")
+    common = [
+        "--variant", "convonet", "--data_root", src,
+        "--weights", weights, "--batch_size", str(BATCH),
+        "--resolution0", "8", "--upsample", "2",
+        "--input_npoint", "32", "--sample_npoint", "64",
+        "--wire", "int8",
+    ]
+    serial_path, = remesh_main([*common, "--host_workers", "1"])
+    serial_pc = load_npz(serial_path).test_pc.copy()
+    threaded_path, = remesh_main([*common, "--host_workers", "4"])
+    np.testing.assert_array_equal(
+        load_npz(threaded_path).test_pc, serial_pc)
