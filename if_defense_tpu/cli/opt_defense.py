@@ -71,11 +71,19 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+_DEFEND_CACHE: dict = {}
+
+
 def build_defend_fn(args):
     """Build (defend_fn, mesh): the fused defense, data-parallel over the
-    device mesh (params replicated, cloud batches sharded on dp)."""
-    mesh = best_data_mesh(args.batch_size)
-    variables = replicate(load_params_npz(args.weights), mesh)
+    device mesh (params replicated, cloud batches sharded on dp).
+
+    Cached per (variant, weights file, config): through the remote-
+    compile tunnel a jit-cache miss costs ~15 s — far more than the
+    device work on a 320-cloud file — so repeated main() calls in one
+    process (benchmark drivers, pipelines defending many files) must
+    reuse the compiled defense instead of rebuilding the closure.
+    """
     common = dict(
         sample_npoint=args.sample_npoint,
         padding_scale=args.padding_scale,
@@ -93,10 +101,21 @@ def build_defend_fn(args):
     )
     if args.variant == "convonet":
         common["interp_refresh"] = args.interp_refresh
+    wpath = os.path.abspath(args.weights)
+    key = (args.variant, wpath, os.path.getmtime(wpath),
+           args.batch_size, tuple(sorted(common.items())))
+    if key in _DEFEND_CACHE:
+        return _DEFEND_CACHE[key]
+    mesh = best_data_mesh(args.batch_size)
+    variables = replicate(load_params_npz(args.weights), mesh)
+    if args.variant == "convonet":
         model = ConvOccupancyNetwork()
-        return convonet_opt_defense(model, variables, **common), mesh
-    model = OccupancyNetwork()
-    return onet_opt_defense(model, variables, **common), mesh
+        fn = convonet_opt_defense(model, variables, **common)
+    else:
+        model = OccupancyNetwork()
+        fn = onet_opt_defense(model, variables, **common)
+    _DEFEND_CACHE[key] = (fn, mesh)
+    return _DEFEND_CACHE[key]
 
 
 def defend_clouds(defend, mesh, pc: np.ndarray, args) -> np.ndarray:

@@ -275,19 +275,25 @@ def get_save_name(path: str, variant: str) -> str:
     return os.path.join(folder, f"{variant}_remesh-{os.path.basename(path)}")
 
 
-def main(argv=None):
-    args = parse_args(argv)
-    model, variables, input_n = build_model(args)
-    # data-parallel over the device mesh: params replicated, cloud
-    # batches sharded on dp (the device-side encode + occupancy evals
-    # dominate; host isosurface extraction stays per-cloud)
-    mesh = best_data_mesh(args.batch_size)
-    variables = replicate(variables, mesh)
+_EVAL_CACHE: dict = {}
+
+
+def build_eval_fns(args, model):
+    """(dense_fn, sparse_fn, decode_fn, encode_fn) for the run.
+
+    Cached per model/grid config: all four take `variables` as an
+    ARGUMENT (no weights baked in), and through the remote-compile
+    tunnel a jit rebuild costs seconds — repeated main() calls in one
+    process (benchmark drivers defending many files) must reuse them.
+    """
+    key = (args.variant, args.resolution0, args.upsample,
+           args.threshold, args.wire, args.sparse_blocks)
+    if key in _EVAL_CACHE:
+        return _EVAL_CACHE[key]
     # plane-latent ConvONet gets the dense-lattice fast path: planes
     # resized to the fine lattice once per batch, then gather-free slab
-    # evaluation of the full fine grid. Built ONCE here — it carries the
-    # jit cache across all files and train/test splits. Falls back to
-    # coarse+refine for grid-type latents / ONet.
+    # evaluation of the full fine grid. Falls back to coarse+refine for
+    # grid-type latents / ONet.
     dense_fn, sparse_fn = None, None
     if args.variant == "convonet":
         from if_defense_tpu.implicit.generation import (
@@ -298,32 +304,45 @@ def main(argv=None):
         # same box the generate_meshes query grid uses (1 + padding)
         dense_fn = make_convonet_dense_eval(
             model, args.resolution0 * args.upsample, 1.0 + DEFAULT_PADDING)
-        # dense_fn is None for non-3-plane latents — there the
-        # coarse+refine path runs and DOES honour --compute_dtype
-        if args.compute_dtype is not None and dense_fn is not None:
-            print("WARNING: --compute_dtype is a no-op on the ConvONet "
-                  "dense-lattice path (evaluation precision is set by the "
-                  "lattice evaluator; use --wire int8 to compact the "
-                  "transfer instead)")
         if args.wire == "sparse":
             sparse_fn = make_convonet_sparse_eval(
                 model, args.resolution0 * args.upsample,
                 1.0 + DEFAULT_PADDING, args.threshold,
                 max_blocks=args.sparse_blocks)
-    if args.wire == "sparse" and (
-            sparse_fn is None or args.sample_mode != "direct"):
-        raise SystemExit(
-            "--wire sparse needs --variant convonet (3-plane latent) "
-            "and --sample_mode direct")
 
-    # ONE stable decode_fn for the whole run: eval_points_batched hashes
-    # it as a static jit argument, so a per-batch closure would recompile
-    # the (ONet / exact-path) occupancy evaluation every batch
+    # ONE stable decode_fn for the whole process: eval_points_batched
+    # hashes it as a static jit argument, so a per-run closure would
+    # recompile the (ONet / exact-path) occupancy evaluation every run
     def decode_fn(v, p, cc):
         return model.apply(v, p, cc, method="decode")
 
     encode_fn = jax.jit(
         lambda v, p: model.apply(v, p, method="encode_inputs"))
+    _EVAL_CACHE[key] = (dense_fn, sparse_fn, decode_fn, encode_fn)
+    return _EVAL_CACHE[key]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model, variables, input_n = build_model(args)
+    # data-parallel over the device mesh: params replicated, cloud
+    # batches sharded on dp (the device-side encode + occupancy evals
+    # dominate; host isosurface extraction stays per-cloud)
+    mesh = best_data_mesh(args.batch_size)
+    variables = replicate(variables, mesh)
+    dense_fn, sparse_fn, decode_fn, encode_fn = build_eval_fns(args, model)
+    # dense_fn is None for non-3-plane latents — there the
+    # coarse+refine path runs and DOES honour --compute_dtype
+    if args.compute_dtype is not None and dense_fn is not None:
+        print("WARNING: --compute_dtype is a no-op on the ConvONet "
+              "dense-lattice path (evaluation precision is set by the "
+              "lattice evaluator; use --wire int8 to compact the "
+              "transfer instead)")
+    if args.wire == "sparse" and (
+            sparse_fn is None or args.sample_mode != "direct"):
+        raise SystemExit(
+            "--wire sparse needs --variant convonet (3-plane latent) "
+            "and --sample_mode direct")
 
     files = (
         [os.path.join(args.data_root, f)

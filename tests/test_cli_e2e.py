@@ -297,3 +297,35 @@ def test_threaded_host_sampling_matches_serial(chain, tmp_path):
     threaded_path, = remesh_main([*common, "--host_workers", "4"])
     np.testing.assert_array_equal(
         load_npz(threaded_path).test_pc, serial_pc)
+
+
+def test_defense_builders_cached_across_invocations(chain):
+    """build_defend_fn / build_eval_fns reuse compiled closures across
+    main() calls in one process: through the remote-compile tunnel a
+    rebuild costs ~15 s per call (dominating a 320-cloud file), so
+    benchmark drivers depend on this."""
+    import argparse
+
+    from if_defense_tpu.cli import opt_defense as od
+    from if_defense_tpu.cli import remesh_defense as rd
+
+    weights = str(chain["out"] / "convonet_rand.npz")
+    oargs = od.parse_args([
+        "--variant", "convonet", "--data_root", "x.npz",
+        "--weights", weights, "--iterations", "3",
+        "--batch_size", str(BATCH)])
+    assert od.build_defend_fn(oargs) is od.build_defend_fn(
+        od.parse_args([
+            "--variant", "convonet", "--data_root", "y.npz",
+            "--weights", weights, "--iterations", "3",
+            "--batch_size", str(BATCH)]))
+    # different config -> different compiled defense
+    oargs2 = argparse.Namespace(**{**vars(oargs), "iterations": 5})
+    assert od.build_defend_fn(oargs2) is not od.build_defend_fn(oargs)
+
+    rargs = rd.parse_args([
+        "--variant", "convonet", "--data_root", "x.npz",
+        "--weights", weights, "--resolution0", "8", "--upsample", "2"])
+    model, _, _ = rd.build_model(rargs)
+    assert rd.build_eval_fns(rargs, model) is rd.build_eval_fns(
+        rargs, model)
