@@ -181,6 +181,13 @@ def farthest_point_sample(
         [B, npoint] int32 indices.
     """
     B, N, _ = xyz.shape
+    # index selection is discrete — no gradient flows through it (the
+    # reference's CUDA FPS is equally non-differentiable; attack/defense
+    # gradients flow through the downstream gathers instead). Without
+    # this, differentiating a model that calls FPS on TPU hits
+    # pallas_call's JVP rule (AssertionError) even though the int32
+    # outputs carry no tangent.
+    xyz = jax.lax.stop_gradient(xyz)
     if start_idx is None:
         # Mosaic rejects the kernel at small/ragged shapes (observed at
         # B=2, N=128 via DUP-Net: remote compile HTTP 500); gate on

@@ -21,3 +21,33 @@ def test_fps_pallas_selects_distinct_points():
     idx = np.asarray(fps_pallas(pts, 16, interpret=True))
     for b in range(2):
         assert len(set(idx[b].tolist())) == 16
+
+
+def test_farthest_point_sample_grad_through_pallas_branch(monkeypatch):
+    """Differentiating a forward that selects-and-gathers via FPS must
+    not differentiate the kernel itself: pallas_call has no JVP rule
+    (AssertionError on TPU — hit by CW x PointNet++). The product fix is
+    the stop_gradient inside farthest_point_sample; force the pallas
+    branch (interpret mode) and take a gradient through the gather."""
+    import jax
+    import jax.numpy as jnp
+
+    import if_defense_tpu.ops.pallas_fps as pf
+    from if_defense_tpu.ops.pointops import farthest_point_sample
+
+    real = pf.fps_pallas
+    monkeypatch.setattr(
+        pf, "fps_pallas", lambda xyz, n: real(xyz, n, interpret=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(8, 128, 3)), jnp.float32)
+
+    def loss(x):
+        idx = farthest_point_sample(x, 16)      # pallas branch (forced)
+        sel = jnp.take_along_axis(x, idx[..., None].repeat(3, -1), 1)
+        return (sel ** 2).sum()
+
+    g = np.asarray(jax.grad(loss)(pts))
+    assert np.isfinite(g).all()
+    assert (np.abs(g) > 0).any()                # gather gradient flows
