@@ -49,12 +49,27 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+_DEFENSE_CACHE: dict = {}
+
+
 def build_defense_fn(name: str, args, mesh=None):
     """Return (fn(batch_pc, key) -> np.ndarray, output_points).
 
     With a mesh, batches are sharded on dp (params replicated) so each
-    defense runs SPMD over the devices.
+    defense runs SPMD over the devices. Cached per config across main()
+    invocations in one process: through the remote-compile tunnel a jit
+    rebuild (DUP-Net especially) costs more than defending a whole file.
     """
+    key = (name, args.srs_drop_num, args.sor_k, args.sor_alpha,
+           args.npoint, os.path.abspath(args.punet_weights),
+           args.batch_size, mesh is not None)
+    if key in _DEFENSE_CACHE:
+        return _DEFENSE_CACHE[key]
+    _DEFENSE_CACHE[key] = _build_defense_fn(name, args, mesh)
+    return _DEFENSE_CACHE[key]
+
+
+def _build_defense_fn(name: str, args, mesh=None):
     if name == "srs":
         fn = jax.jit(
             functools.partial(srs_defense, drop_num=args.srs_drop_num)
