@@ -86,11 +86,34 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+_EVAL_CACHE: dict = {}
+
+
+def _load_eval_cached(args):
+    """(model, variables, meta, eval_step), cached across main() calls.
+
+    Scoring many npz files against one victim in a single process (the
+    reference's `inference.py` loop, our benchmark drivers) must not
+    re-restore the checkpoint and re-jit the eval step per file —
+    through the remote-compile tunnel that overhead dwarfs the actual
+    320-cloud evaluation. Keyed on the checkpoint path + mtime, so a
+    re-trained checkpoint is picked up."""
+    ck = args.checkpoint
+    mtime = None
+    if not ck.startswith("registry:") and os.path.exists(ck):
+        mtime = os.path.getmtime(ck)
+    key = (os.path.abspath(ck), mtime, args.model, args.num_points,
+           args.registry)
+    if key not in _EVAL_CACHE:
+        model, variables, meta = load_eval_model(
+            ck, args.model, args.num_points, args.registry)
+        _EVAL_CACHE[key] = (model, variables, meta, make_eval_step(model))
+    return _EVAL_CACHE[key]
+
+
 def main(argv=None):
     args = parse_args(argv)
-    model, variables, meta = load_eval_model(
-        args.checkpoint, args.model, args.num_points, args.registry)
-    eval_step = make_eval_step(model)
+    model, variables, meta, eval_step = _load_eval_cached(args)
     mesh = best_data_mesh(args.batch_size)
 
     num_points = args.num_points
