@@ -7,6 +7,15 @@ ONE jitted scan-of-scans on device. The reference syncs
 `.detach().cpu().numpy()` every iteration (`Perturb.py:108-123`) to track
 per-example bests on the host; here the argmin tracking is a `jnp.where`
 inside the scan carry, so nothing leaves the TPU until the attack finishes.
+
+Chunked execution (`device_chunk_iters`): heavyweight victims (PointNet++
+at 10x500 iterations) turn the single fused program into a ~20-minute
+device call, which the TPU runtime kills ("TPU worker process crashed or
+restarted"). With `device_chunk_iters=R`, the Adam loop runs as a
+host-driven chain of jitted R-iteration scan segments (state stays on
+device; segments pipeline through the async dispatch queue), bounding
+every device call while producing bit-identical results — asserted by
+`tests/test_attack.py::test_cw_chunked_matches_fused`.
 """
 
 from __future__ import annotations
@@ -141,6 +150,183 @@ def _cw_binary_search(
     return obd, oba, ~fail
 
 
+def _cw_chunk_sizes(num_iter: int, chunk: int) -> list[int]:
+    sizes = [chunk] * (num_iter // chunk)
+    if num_iter % chunk:
+        sizes.append(num_iter % chunk)
+    return sizes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fns", "attack_lr", "length", "compute_dtype"),
+)
+def _cw_chunk_run(fns, attack_lr, length, compute_dtype, carry, env,
+                  target):
+    """One `length`-iteration segment of the CW Adam loop.
+
+    `fns` is a static tuple of top-level callables (logits, dist, init,
+    record, postprocess, adv-loss) that read per-batch arrays from the
+    TRACED `env` pytree — so one compilation covers every batch of a run
+    (a closure over the batch would recompile per batch)."""
+    logits_env, dist_env, _init_env, record_env, post_env, adv_fn = fns
+    B = target.shape[0]
+    opt = optax.adam(attack_lr)
+
+    def loss_fn(adv, weight):
+        if compute_dtype is not None:
+            cd = jnp.dtype(compute_dtype)
+            adv_c = jax.tree_util.tree_map(lambda x: x.astype(cd), adv)
+        else:
+            adv_c = adv
+        logits = logits_env(env, adv_c).astype(jnp.float32)
+        per_adv = adv_fn(logits, target)
+        per_dist = dist_env(env, adv).astype(jnp.float32)
+        loss = jnp.mean(per_adv) + jnp.mean(weight * per_dist)
+        return loss, (logits, per_dist)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def inner(c, _):
+        adv, opt_state, weight, bd, bs, obd, oba = c
+        (_, (logits, dist)), grads = grad_fn(adv, weight)
+        pred = jnp.argmax(logits, axis=-1)
+        succ = pred == target
+        better = succ & (dist < bd)
+        bd = jnp.where(better, dist, bd)
+        bs = jnp.where(better, pred, bs)
+        o_better = succ & (dist < obd)
+        obd = jnp.where(o_better, dist, obd)
+        rec = record_env(env, adv)
+        oba = jnp.where(
+            o_better.reshape((B,) + (1,) * (rec.ndim - 1)), rec, oba
+        )
+        updates, opt_state = opt.update(grads, opt_state, adv)
+        adv = optax.apply_updates(adv, updates)
+        adv = post_env(env, adv)
+        return (adv, opt_state, weight, bd, bs, obd, oba), None
+
+    carry, _ = jax.lax.scan(inner, carry, None, length=length)
+    return carry
+
+
+def _cw_binary_search_chunked(
+    fns, env, target, key, *, attack_lr, init_weight, max_weight,
+    binary_step, num_iter, device_chunk_iters, compute_dtype=None,
+):
+    """Host-chunked twin of `_cw_binary_search` — bit-identical results.
+
+    The binary-search loop runs on the host; each Adam segment is one
+    bounded device call (state never leaves the device). The tiny
+    init/bisection ops between segments dispatch eagerly."""
+    logits_env, dist_env, init_env, record_env, post_env, adv_fn = fns
+    B = target.shape[0]
+    opt = optax.adam(attack_lr)
+    lower = jnp.zeros((B,))
+    upper = jnp.full((B,), max_weight)
+    weight = jnp.full((B,), init_weight)
+    obd = jnp.full((B,), BIG)
+    sample_rec = record_env(env, init_env(env, key))
+    oba = jnp.zeros_like(sample_rec)
+    last_rec = sample_rec
+    sizes = _cw_chunk_sizes(num_iter, device_chunk_iters)
+    for step_key in jax.random.split(key, binary_step):
+        adv0 = init_env(env, step_key)
+        carry = (
+            adv0, opt.init(adv0), weight,
+            jnp.full((B,), BIG), jnp.full((B,), -1, jnp.int32), obd, oba,
+        )
+        for length in sizes:
+            carry = _cw_chunk_run(
+                fns, attack_lr, length, compute_dtype, carry, env, target
+            )
+        adv, _, _, bd, bs, obd, oba = carry
+        # bisection on the budget weight (Perturb.py:154-162)
+        succ = (bs == target) & (bs != -1) & (bd <= obd)
+        lower = jnp.where(succ, jnp.maximum(lower, weight), lower)
+        upper = jnp.where(succ, upper, jnp.minimum(upper, weight))
+        weight = (lower + upper) / 2.0
+        last_rec = record_env(env, adv)
+    fail = lower == 0.0
+    oba = jnp.where(fail.reshape((B,) + (1,) * (oba.ndim - 1)), last_rec, oba)
+    return obd, oba, ~fail
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fns", "attack_lr", "init_weight", "max_weight",
+                     "binary_step", "num_iter", "compute_dtype"),
+)
+def _cw_fused_env(fns, attack_lr, init_weight, max_weight, binary_step,
+                  num_iter, compute_dtype, env, target, key):
+    """Env-based fused CW core: the whole binary search as ONE jitted
+    program, with the per-batch arrays traced through `env` so one
+    compilation covers every batch of a run (the closure-based core
+    retraces per batch when called outside an enclosing jit)."""
+    logits_env, dist_env, init_env, record_env, post_env, adv_fn = fns
+    return _cw_binary_search(
+        lambda adv: logits_env(env, adv),
+        lambda adv: dist_env(env, adv),
+        adv_fn,
+        lambda k: init_env(env, k),
+        target,
+        key,
+        attack_lr=attack_lr,
+        init_weight=init_weight,
+        max_weight=max_weight,
+        binary_step=binary_step,
+        num_iter=num_iter,
+        record_fn=lambda adv: record_env(env, adv),
+        postprocess_fn=lambda adv: post_env(env, adv),
+        compute_dtype=compute_dtype,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _perturb_fns(logits_fn, dist_fn, adv_fn):
+    """Stable (cached) env-fn tuple for the chunked perturb attack."""
+
+    def logits_env(env, adv):
+        return logits_fn(adv)
+
+    def dist_env(env, adv):
+        return dist_fn(adv, env["ori"])
+
+    def init_env(env, k):
+        return env["ori"] + jax.random.normal(k, env["ori"].shape) * 1e-7
+
+    def record_env(env, adv):
+        return adv
+
+    def post_env(env, adv):
+        return adv
+
+    return (logits_env, dist_env, init_env, record_env, post_env, adv_fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _add_fns(logits_fn, dist_fn, adv_fn):
+    """Env-fn tuple for add-family attacks (adv = the added points,
+    initialised from env["init0"], forward on concat(ori, adv))."""
+
+    def logits_env(env, adv):
+        return logits_fn(jnp.concatenate([env["ori"], adv], axis=1))
+
+    def dist_env(env, adv):
+        return dist_fn(adv, env["ori"])
+
+    def init_env(env, k):
+        return env["init0"] + jax.random.normal(k, env["init0"].shape) * 1e-7
+
+    def record_env(env, adv):
+        return adv
+
+    def post_env(env, adv):
+        return adv
+
+    return (logits_env, dist_env, init_env, record_env, post_env, adv_fn)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -148,7 +334,7 @@ def _cw_binary_search(
         "attack_lr", "init_weight", "max_weight", "binary_step", "num_iter",
     ),
 )
-def cw_perturb(
+def _cw_perturb_fused(
     logits_fn: Callable,
     data: jax.Array,
     target: jax.Array,
@@ -188,6 +374,43 @@ def cw_perturb(
     )
 
 
+def cw_perturb(
+    logits_fn: Callable,
+    data: jax.Array,
+    target: jax.Array,
+    key: jax.Array,
+    dist_fn: Callable = l2_dist,
+    adv_fn: Callable = logits_adv_loss,
+    attack_lr: float = 1e-2,
+    init_weight: float = 10.0,
+    max_weight: float = 80.0,
+    binary_step: int = 10,
+    num_iter: int = 500,
+    compute_dtype: str | None = None,
+    device_chunk_iters: int | None = None,
+):
+    """CW point-perturbation attack; see `_cw_perturb_fused`.
+
+    device_chunk_iters=None runs the whole attack as one device program;
+    an int R runs host-chunked R-iteration segments (identical results,
+    bounded device-call length — required for heavyweight victims)."""
+    if device_chunk_iters:
+        return _cw_binary_search_chunked(
+            _perturb_fns(logits_fn, dist_fn, adv_fn),
+            {"ori": data}, target, key,
+            attack_lr=attack_lr, init_weight=init_weight,
+            max_weight=max_weight, binary_step=binary_step,
+            num_iter=num_iter, device_chunk_iters=device_chunk_iters,
+            compute_dtype=compute_dtype,
+        )
+    return _cw_perturb_fused(
+        logits_fn, data, target, key, dist_fn, adv_fn,
+        attack_lr=attack_lr, init_weight=init_weight,
+        max_weight=max_weight, binary_step=binary_step,
+        num_iter=num_iter, compute_dtype=compute_dtype,
+    )
+
+
 def get_critical_points(
     logits_fn: Callable, data: jax.Array, label: jax.Array, num: int
 ) -> jax.Array:
@@ -211,7 +434,7 @@ def get_critical_points(
         "attack_lr", "init_weight", "max_weight", "binary_step", "num_iter",
     ),
 )
-def cw_add(
+def _cw_add_fused(
     logits_fn: Callable,
     data: jax.Array,
     target: jax.Array,
@@ -253,12 +476,46 @@ def cw_add(
     return obd, jnp.concatenate([ori, best_added], axis=1), success
 
 
+def cw_add(
+    logits_fn: Callable,
+    data: jax.Array,
+    target: jax.Array,
+    key: jax.Array,
+    dist_fn: Callable,
+    adv_fn: Callable = logits_adv_loss,
+    num_add: int = 512,
+    attack_lr: float = 1e-2,
+    init_weight: float = 5e3,
+    max_weight: float = 4e4,
+    binary_step: int = 10,
+    num_iter: int = 500,
+    device_chunk_iters: int | None = None,
+):
+    """CW point-adding attack; see `_cw_add_fused` for semantics."""
+    if device_chunk_iters:
+        ori = data
+        cri = get_critical_points(logits_fn, ori, target, num_add)
+        obd, best_added, success = _cw_binary_search_chunked(
+            _add_fns(logits_fn, dist_fn, adv_fn),
+            {"ori": ori, "init0": cri}, target, key,
+            attack_lr=attack_lr, init_weight=init_weight,
+            max_weight=max_weight, binary_step=binary_step,
+            num_iter=num_iter, device_chunk_iters=device_chunk_iters,
+        )
+        return obd, jnp.concatenate([ori, best_added], axis=1), success
+    return _cw_add_fused(
+        logits_fn, data, target, key, dist_fn, adv_fn, num_add=num_add,
+        attack_lr=attack_lr, init_weight=init_weight,
+        max_weight=max_weight, binary_step=binary_step, num_iter=num_iter,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("logits_fn", "dist_fn", "adv_fn",
                      "attack_lr", "num_iter", "budget"),
 )
-def cw_knn(
+def _cw_knn_fused(
     logits_fn: Callable,
     data: jax.Array,
     target: jax.Array,
@@ -313,3 +570,73 @@ def cw_knn(
     )
     pred = jnp.argmax(logits_fn(adv), axis=-1)
     return adv, pred == target
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("logits_fn", "dist_fn", "adv_fn", "attack_lr",
+                     "budget", "length"),
+)
+def _knn_chunk(logits_fn, dist_fn, adv_fn, attack_lr, budget, length,
+               carry, ori, target, normal, kappa):
+    """One `length`-iteration segment of the kNN attack Adam loop."""
+    K = ori.shape[1]
+    opt = optax.adam(attack_lr)
+    if adv_fn is None:
+        adv_fn = functools.partial(logits_adv_loss, kappa=kappa)
+
+    def loss_fn(adv):
+        logits = logits_fn(adv)
+        return jnp.mean(adv_fn(logits, target)) + jnp.mean(
+            dist_fn(adv, ori)
+        ) * K
+
+    grad_fn = jax.grad(loss_fn)
+
+    def step(c, _):
+        adv, opt_state = c
+        grads = grad_fn(adv)
+        updates, opt_state = opt.update(grads, opt_state, adv)
+        adv = optax.apply_updates(adv, updates)
+        adv = project_inner_clip_linf(adv, ori, normal, budget)
+        return (adv, opt_state), None
+
+    return jax.lax.scan(step, carry, None, length=length)[0]
+
+
+def cw_knn(
+    logits_fn: Callable,
+    data: jax.Array,
+    target: jax.Array,
+    key: jax.Array,
+    dist_fn: Callable,
+    normal: jax.Array | None = None,
+    adv_fn: Callable | None = None,
+    attack_lr: float = 1e-3,
+    num_iter: int = 2500,
+    budget: float = 0.1,
+    kappa: float = 15.0,
+    device_chunk_iters: int | None = None,
+):
+    """CW kNN robust attack; see `_cw_knn_fused` for semantics.
+
+    device_chunk_iters bounds each device call (2500 iterations on a
+    heavyweight victim otherwise exceed the TPU runtime's single-
+    execution limit); results are identical to the fused path."""
+    if device_chunk_iters:
+        opt = optax.adam(attack_lr)
+        adv0 = data + jax.random.normal(key, data.shape) * 1e-7
+        carry = (adv0, opt.init(adv0))
+        for length in _cw_chunk_sizes(num_iter, device_chunk_iters):
+            carry = _knn_chunk(
+                logits_fn, dist_fn, adv_fn, attack_lr, budget, length,
+                carry, data, target, normal, kappa,
+            )
+        adv = carry[0]
+        pred = jnp.argmax(logits_fn(adv), axis=-1)
+        return adv, pred == target
+    return _cw_knn_fused(
+        logits_fn, data, target, key, dist_fn, normal, adv_fn,
+        attack_lr=attack_lr, num_iter=num_iter, budget=budget,
+        kappa=kappa,
+    )

@@ -10,6 +10,7 @@ CW binary-search core.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Callable
 
@@ -17,7 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from if_defense_tpu.attack.cw import _cw_binary_search, get_critical_points
+from if_defense_tpu.attack.cw import (
+    _add_fns,
+    _cw_binary_search_chunked,
+    _cw_fused_env,
+    get_critical_points,
+)
 from if_defense_tpu.attack.losses import (
     chamfer_dist,
     farthest_dist,
@@ -128,6 +134,17 @@ def far_chamfer_dist(added: jax.Array, ori: jax.Array, num_add: int,
     return farthest_dist(clusters) + chamfer_weight * chamfer_dist(added, ori)
 
 
+@functools.lru_cache(maxsize=16)
+def _cluster_dist_fn(num_add: int):
+    """Stable per-num_add distance fn (lru: stable identity for the
+    chunked path's static jit args)."""
+
+    def dist(added, ori):
+        return far_chamfer_dist(added, ori, num_add)
+
+    return dist
+
+
 def cw_add_cluster(
     logits_fn: Callable,
     data: jax.Array,
@@ -142,6 +159,7 @@ def cw_add_cluster(
     binary_step: int = 5,
     num_iter: int = 500,
     seed: int = 0,
+    device_chunk_iters: int | None = None,
 ):
     """CW adversarial-cluster attack.
 
@@ -155,19 +173,23 @@ def cw_add_cluster(
     )
     flat0 = jnp.asarray(clusters.reshape(len(ori), num_add * cl_num_p, 3))
 
-    obd, best_added, success = _cw_binary_search(
-        lambda adv: logits_fn(jnp.concatenate([ori, adv], axis=1)),
-        lambda adv: far_chamfer_dist(adv, ori, num_add),
-        adv_fn,
-        lambda k: flat0 + jax.random.normal(k, flat0.shape) * 1e-7,
-        target,
-        key,
-        attack_lr=attack_lr,
-        init_weight=init_weight,
-        max_weight=max_weight,
-        binary_step=binary_step,
-        num_iter=num_iter,
+    fns = _add_fns(logits_fn, _cluster_dist_fn(num_add), adv_fn)
+    env = {"ori": ori, "init0": flat0}
+    common = dict(
+        attack_lr=attack_lr, init_weight=init_weight,
+        max_weight=max_weight, binary_step=binary_step, num_iter=num_iter,
     )
+    if device_chunk_iters:
+        obd, best_added, success = _cw_binary_search_chunked(
+            fns, env, target, key,
+            device_chunk_iters=device_chunk_iters, **common,
+        )
+    else:
+        obd, best_added, success = _cw_fused_env(
+            fns, common["attack_lr"], common["init_weight"],
+            common["max_weight"], common["binary_step"],
+            common["num_iter"], None, env, target, key,
+        )
     return obd, jnp.concatenate([ori, best_added], axis=1), success
 
 
@@ -201,6 +223,46 @@ def load_airplane(obj_num_p: int, num_add: int, scaling: float,
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def _object_fns(logits_fn, adv_fn, chamfer_weight: float):
+    """Env-fn tuple for the chunked object attack. Per-batch arrays live
+    in env (ori/objects0/centers); shapes are derived from them so one
+    compilation covers every batch."""
+
+    def make_points(env, adv):
+        objs, angles, shifts = adv
+        pts = _rotate_shift(objs, angles, shifts)
+        return pts.reshape(pts.shape[0], -1, 3)
+
+    def logits_env(env, adv):
+        return logits_fn(
+            jnp.concatenate([env["ori"], make_points(env, adv)], 1))
+
+    def dist_env(env, adv):
+        objs, _, _ = adv
+        B = objs.shape[0]
+        added = make_points(env, adv)
+        l2 = l2_dist(objs.reshape(B, -1, 3),
+                     env["objects0"].reshape(B, -1, 3))
+        return l2 + chamfer_weight * chamfer_dist(added, env["ori"])
+
+    def init_env(env, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        objects0, centers = env["objects0"], env["centers"]
+        objs = objects0 + jax.random.normal(k1, objects0.shape) * 1e-7
+        shifts = centers + jax.random.normal(k2, centers.shape) * 1e-7
+        angles = jax.random.uniform(
+            k3, centers.shape, maxval=jnp.pi
+        )
+        return (objs, angles, shifts)
+
+    def post_env(env, adv):
+        objs, angles, shifts = adv
+        return (objs, jnp.mod(angles, 2 * jnp.pi), shifts)
+
+    return (logits_env, dist_env, init_env, make_points, post_env, adv_fn)
+
+
 def cw_add_object(
     logits_fn: Callable,
     data: jax.Array,
@@ -217,6 +279,7 @@ def cw_add_object(
     binary_step: int = 5,
     num_iter: int = 500,
     seed: int = 0,
+    device_chunk_iters: int | None = None,
 ):
     """CW adversarial-object attack: rigid template objects whose shape,
     y-rotation, and placement are optimised jointly.
@@ -232,43 +295,21 @@ def cw_add_object(
     cri = np.asarray(get_critical_points(logits_fn, ori, target, 128))
     centers = jnp.asarray(_init_object_centers(cri, num_add, rng))
 
-    def make_points(adv):
-        objs, angles, shifts = adv
-        pts = _rotate_shift(objs, angles, shifts)
-        return pts.reshape(B, num_add * obj_num_p, 3)
-
-    def dist(adv):
-        objs, _, _ = adv
-        added = make_points(adv)
-        l2 = l2_dist(objs.reshape(B, -1, 3), objects0.reshape(B, -1, 3))
-        return l2 + chamfer_weight * chamfer_dist(added, ori)
-
-    def init(k):
-        k1, k2, k3 = jax.random.split(k, 3)
-        objs = objects0 + jax.random.normal(k1, objects0.shape) * 1e-7
-        shifts = centers + jax.random.normal(k2, centers.shape) * 1e-7
-        angles = jax.random.uniform(
-            k3, (B, num_add, 3), maxval=jnp.pi
-        )
-        return (objs, angles, shifts)
-
-    def wrap_angles(adv):
-        objs, angles, shifts = adv
-        return (objs, jnp.mod(angles, 2 * jnp.pi), shifts)
-
-    obd, best_added, success = _cw_binary_search(
-        lambda adv: logits_fn(jnp.concatenate([ori, make_points(adv)], 1)),
-        dist,
-        adv_fn,
-        init,
-        target,
-        key,
-        attack_lr=attack_lr,
-        init_weight=init_weight,
-        max_weight=max_weight,
-        binary_step=binary_step,
-        num_iter=num_iter,
-        record_fn=make_points,
-        postprocess_fn=wrap_angles,
+    fns = _object_fns(logits_fn, adv_fn, chamfer_weight)
+    env = {"ori": ori, "objects0": objects0, "centers": centers}
+    common = dict(
+        attack_lr=attack_lr, init_weight=init_weight,
+        max_weight=max_weight, binary_step=binary_step, num_iter=num_iter,
     )
+    if device_chunk_iters:
+        obd, best_added, success = _cw_binary_search_chunked(
+            fns, env, target, key,
+            device_chunk_iters=device_chunk_iters, **common,
+        )
+    else:
+        obd, best_added, success = _cw_fused_env(
+            fns, common["attack_lr"], common["init_weight"],
+            common["max_weight"], common["binary_step"],
+            common["num_iter"], None, env, target, key,
+        )
     return obd, jnp.concatenate([ori, best_added], axis=1), success

@@ -83,6 +83,13 @@ def parse_args(argv=None):
                    choices=["float32", "mixed"],
                    help="mixed = bf16 victim trunk + f32 logits head "
                         "(attack math stays f32; see attack/mixed.py)")
+    p.add_argument("--device_chunk_iters", type=int, default=-1,
+                   help="CW-family Adam iterations per device call. "
+                        "-1 = auto (chunks of 100 on TPU — a fused "
+                        "10x500 program on a heavyweight victim exceeds "
+                        "the runtime's single-execution limit and kills "
+                        "the worker; results are bit-identical either "
+                        "way); 0 = one fused device program")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--registry", default=None,
                    help="registry JSON for registry:<dataset> checkpoints")
@@ -97,6 +104,13 @@ def build_attack(args, logits_fn, masked_logits_fn=None):
     ~num_drop/k shrinking-shape compiles).
     """
     name = args.attack
+    # auto: bound every CW device call on TPU (the fused scan-of-scans
+    # on a heavyweight victim exceeds the runtime's single-execution
+    # limit); None = fused single program (CPU/tests)
+    chunk = args.device_chunk_iters
+    if chunk < 0:
+        chunk = 100 if jax.default_backend() == "tpu" else None
+    chunk = chunk or None
 
     if name == "perturb":
         iters = args.num_iter or 500
@@ -105,7 +119,8 @@ def build_attack(args, logits_fn, masked_logits_fn=None):
         def run(pc, label, target, normal, key):
             _, adv, succ = cw_perturb(
                 logits_fn, pc, target, key, attack_lr=args.attack_lr,
-                binary_step=bsteps, num_iter=iters)
+                binary_step=bsteps, num_iter=iters,
+                device_chunk_iters=chunk)
             return adv, succ
         return run, "target"
 
@@ -120,7 +135,8 @@ def build_attack(args, logits_fn, masked_logits_fn=None):
         def run(pc, label, target, normal, key):
             _, adv, succ = cw_add(
                 logits_fn, pc, target, key, dist, num_add=num_add,
-                attack_lr=args.attack_lr, binary_step=bsteps, num_iter=iters)
+                attack_lr=args.attack_lr, binary_step=bsteps,
+                num_iter=iters, device_chunk_iters=chunk)
             return adv, succ
         return run, "target"
 
@@ -132,7 +148,8 @@ def build_attack(args, logits_fn, masked_logits_fn=None):
             _, adv, succ = cw_add_cluster(
                 logits_fn, pc, target, key, num_add=args.num_add or 3,
                 attack_lr=args.attack_lr, binary_step=bsteps,
-                num_iter=iters, seed=args.seed)
+                num_iter=iters, seed=args.seed,
+                device_chunk_iters=chunk)
             return adv, succ
         return run, "target"
 
@@ -144,7 +161,8 @@ def build_attack(args, logits_fn, masked_logits_fn=None):
             _, adv, succ = cw_add_object(
                 logits_fn, pc, target, key, num_add=args.num_add or 3,
                 attack_lr=args.attack_lr, binary_step=bsteps,
-                num_iter=iters, seed=args.seed)
+                num_iter=iters, seed=args.seed,
+                device_chunk_iters=chunk)
             return adv, succ
         return run, "target"
 
@@ -158,7 +176,8 @@ def build_attack(args, logits_fn, masked_logits_fn=None):
             adv, succ = cw_knn(
                 logits_fn, pc, target, key, dist,
                 normal=normal, attack_lr=1e-3, num_iter=iters,
-                budget=args.knn_budget, kappa=args.kappa)
+                budget=args.knn_budget, kappa=args.kappa,
+                device_chunk_iters=chunk)
             return adv, succ
         return run, "target_normal"
 

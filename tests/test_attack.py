@@ -4,6 +4,8 @@ Uses a deliberately weak linear 'victim' so attacks succeed within few
 iterations even at tiny scale.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -185,3 +187,59 @@ def test_mixed_precision_victim_close_to_f32():
     assert sum(1 for _, x in flat if x.dtype == jnp.bfloat16) > 10
     bs = jax.tree_util.tree_leaves(cv["batch_stats"])
     assert all(x.dtype == jnp.bfloat16 for x in bs)
+
+
+def test_cw_chunked_matches_fused():
+    """device_chunk_iters must be a pure execution-shape change: the
+    host-chunked CW (bounded device calls, required for heavyweight
+    victims on TPU) returns bit-identical results to the fused
+    single-program path, for every CW-family attack."""
+    import jax.numpy as jnp
+
+    from if_defense_tpu.attack.cw import cw_add, cw_knn, cw_perturb
+    from if_defense_tpu.attack.cw_cluster import (
+        cw_add_cluster,
+        cw_add_object,
+    )
+    from if_defense_tpu.attack.losses import chamfer_dist, chamfer_knn_dist
+    from if_defense_tpu.models import build_model
+    from if_defense_tpu.training import create_train_state, eval_variables
+
+    model = build_model("pointnet", num_classes=8)
+    rng = np.random.default_rng(0)
+    # >=128 points: the cluster/object DBSCAN init reads 128 critical pts
+    pc = jnp.asarray(rng.normal(size=(4, 160, 3)), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), pc)
+    variables = eval_variables(state)
+
+    def logits_fn(x):
+        return model.apply(variables, x, train=False)[0]
+
+    target = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    key = jax.random.key(7)
+    add_dist = functools.partial(chamfer_dist, method="adv2ori")
+
+    cases = [
+        ("perturb", lambda c: cw_perturb(
+            logits_fn, pc, target, key, binary_step=3, num_iter=25,
+            device_chunk_iters=c)),
+        ("add", lambda c: cw_add(
+            logits_fn, pc, target, key, add_dist, num_add=16,
+            binary_step=2, num_iter=20, device_chunk_iters=c)),
+        ("cluster", lambda c: cw_add_cluster(
+            logits_fn, pc, target, key, num_add=2, cl_num_p=8,
+            binary_step=2, num_iter=20, seed=0, device_chunk_iters=c)),
+        ("object", lambda c: cw_add_object(
+            logits_fn, pc, target, key, num_add=2, obj_num_p=16,
+            binary_step=2, num_iter=20, seed=0, device_chunk_iters=c)),
+        ("knn", lambda c: cw_knn(
+            logits_fn, pc, target, key, chamfer_knn_dist,
+            num_iter=30, device_chunk_iters=c)),
+    ]
+    for name, fn in cases:
+        fused = [np.asarray(x) for x in fn(None)]
+        # chunk size that does NOT divide num_iter (remainder segment)
+        chunked = [np.asarray(x) for x in fn(8)]
+        assert len(fused) == len(chunked)
+        for f, c in zip(fused, chunked):
+            np.testing.assert_array_equal(f, c, err_msg=name)
