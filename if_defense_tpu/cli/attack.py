@@ -268,6 +268,10 @@ def main(argv=None):
                                      else batch[1][:valid]))
         success += int(succ[:valid].sum())
         total += valid
+        # per-batch heartbeat: heavyweight victims take minutes/batch
+        print(f"  [{args.attack}] {total} clouds done, "
+              f"running success {success / max(total, 1):.3f}",
+              flush=True)
 
     adv_pc = np.concatenate(all_adv, 0)
     model_name = meta.get("model", args.model or "model")
