@@ -9,13 +9,14 @@ per-example bests on the host; here the argmin tracking is a `jnp.where`
 inside the scan carry, so nothing leaves the TPU until the attack finishes.
 
 Chunked execution (`device_chunk_iters`): heavyweight victims (PointNet++
-at 10x500 iterations) turn the single fused program into a ~20-minute
-device call, which the TPU runtime kills ("TPU worker process crashed or
-restarted"). With `device_chunk_iters=R`, the Adam loop runs as a
-host-driven chain of jitted R-iteration scan segments (state stays on
-device; segments pipeline through the async dispatch queue), bounding
-every device call while producing bit-identical results — asserted by
-`tests/test_attack.py::test_cw_chunked_matches_fused`.
+at 10x500 iterations, ~26-47 ms/iter on v5e) turn the single fused
+program into a multi-minute (~2-4 min) device call, which the TPU
+runtime kills ("TPU worker process crashed or restarted"; measured:
+300-iteration calls survive, 5000 die). With `device_chunk_iters=R`, the
+Adam loop runs as a host-driven chain of jitted R-iteration scan
+segments (state stays on device; segments pipeline through the async
+dispatch queue), bounding every device call while producing bit-identical
+results — asserted by `tests/test_attack.py::test_cw_chunked_matches_fused`.
 """
 
 from __future__ import annotations
@@ -151,6 +152,12 @@ def _cw_binary_search(
 
 
 def _cw_chunk_sizes(num_iter: int, chunk: int) -> list[int]:
+    if chunk < 1:
+        # a negative sentinel (the CLI's -1 "auto") leaking through
+        # would yield [] and silently run ZERO Adam iterations
+        raise ValueError(
+            f"device_chunk_iters must be >= 1, got {chunk} "
+            "(use None for the fused single-program path)")
     sizes = [chunk] * (num_iter // chunk)
     if num_iter % chunk:
         sizes.append(num_iter % chunk)
@@ -226,9 +233,12 @@ def _cw_binary_search_chunked(
     upper = jnp.full((B,), max_weight)
     weight = jnp.full((B,), init_weight)
     obd = jnp.full((B,), BIG)
-    sample_rec = record_env(env, init_env(env, key))
-    oba = jnp.zeros_like(sample_rec)
-    last_rec = sample_rec
+    # shape-only: eval_shape avoids actually executing an init+record
+    # pass per batch (the fused path's XLA DCEs the same expression)
+    rec_spec = jax.eval_shape(
+        lambda k: record_env(env, init_env(env, k)), key)
+    oba = jnp.zeros(rec_spec.shape, rec_spec.dtype)
+    last_rec = oba          # only read if binary_step were 0
     sizes = _cw_chunk_sizes(num_iter, device_chunk_iters)
     for step_key in jax.random.split(key, binary_step):
         adv0 = init_env(env, step_key)

@@ -50,6 +50,7 @@ def parse_args(argv=None):
 
 
 _DEFENSE_CACHE: dict = {}
+_DEFENSE_CACHE_MAX = 8
 
 
 def build_defense_fn(name: str, args, mesh=None):
@@ -59,12 +60,17 @@ def build_defense_fn(name: str, args, mesh=None):
     defense runs SPMD over the devices. Cached per config across main()
     invocations in one process: through the remote-compile tunnel a jit
     rebuild (DUP-Net especially) costs more than defending a whole file.
+    The PU-Net weights' mtime is in the key so re-converted weights at
+    the same path are picked up; FIFO-bounded.
     """
+    wpath = os.path.abspath(args.punet_weights)
+    wmtime = os.path.getmtime(wpath) if os.path.exists(wpath) else None
     key = (name, args.srs_drop_num, args.sor_k, args.sor_alpha,
-           args.npoint, os.path.abspath(args.punet_weights),
-           args.batch_size, mesh is not None)
+           args.npoint, wpath, wmtime, args.batch_size, mesh is not None)
     if key in _DEFENSE_CACHE:
         return _DEFENSE_CACHE[key]
+    if len(_DEFENSE_CACHE) >= _DEFENSE_CACHE_MAX:
+        _DEFENSE_CACHE.pop(next(iter(_DEFENSE_CACHE)))
     _DEFENSE_CACHE[key] = _build_defense_fn(name, args, mesh)
     return _DEFENSE_CACHE[key]
 

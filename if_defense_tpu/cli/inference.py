@@ -87,6 +87,7 @@ def parse_args(argv=None):
 
 
 _EVAL_CACHE: dict = {}
+_EVAL_CACHE_MAX = 8
 
 
 def _load_eval_cached(args):
@@ -96,15 +97,25 @@ def _load_eval_cached(args):
     reference's `inference.py` loop, our benchmark drivers) must not
     re-restore the checkpoint and re-jit the eval step per file —
     through the remote-compile tunnel that overhead dwarfs the actual
-    320-cloud evaluation. Keyed on the checkpoint path + mtime, so a
-    re-trained checkpoint is picked up."""
+    320-cloud evaluation. registry: names are resolved BEFORE keying
+    (the registry file is re-read each call), and the key includes the
+    resolved path's mtime — so both a re-registered and a re-trained
+    checkpoint are picked up. FIFO-bounded so a long sweep over many
+    victims can't pin unbounded device-resident params."""
     ck = args.checkpoint
-    mtime = None
-    if not ck.startswith("registry:") and os.path.exists(ck):
-        mtime = os.path.getmtime(ck)
-    key = (os.path.abspath(ck), mtime, args.model, args.num_points,
-           args.registry)
+    if ck.startswith("registry:"):
+        from if_defense_tpu.utils.registry import lookup_checkpoint
+
+        if args.model is None:
+            raise ValueError("registry: checkpoints need --model")
+        ck = lookup_checkpoint(
+            ck[len("registry:"):], args.model, args.num_points,
+            args.registry)
+    mtime = os.path.getmtime(ck) if os.path.exists(ck) else None
+    key = (os.path.abspath(ck), mtime, args.model, args.num_points)
     if key not in _EVAL_CACHE:
+        if len(_EVAL_CACHE) >= _EVAL_CACHE_MAX:
+            _EVAL_CACHE.pop(next(iter(_EVAL_CACHE)))
         model, variables, meta = load_eval_model(
             ck, args.model, args.num_points, args.registry)
         _EVAL_CACHE[key] = (model, variables, meta, make_eval_step(model))

@@ -72,6 +72,7 @@ def parse_args(argv=None):
 
 
 _DEFEND_CACHE: dict = {}
+_DEFEND_CACHE_MAX = 8
 
 
 def build_defend_fn(args):
@@ -106,6 +107,10 @@ def build_defend_fn(args):
            args.batch_size, tuple(sorted(common.items())))
     if key in _DEFEND_CACHE:
         return _DEFEND_CACHE[key]
+    if len(_DEFEND_CACHE) >= _DEFEND_CACHE_MAX:
+        # FIFO bound: a long sweep over many weights/configs must not
+        # pin unbounded device-resident replicated params
+        _DEFEND_CACHE.pop(next(iter(_DEFEND_CACHE)))
     mesh = best_data_mesh(args.batch_size)
     variables = replicate(load_params_npz(args.weights), mesh)
     if args.variant == "convonet":

@@ -276,6 +276,7 @@ def get_save_name(path: str, variant: str) -> str:
 
 
 _EVAL_CACHE: dict = {}
+_EVAL_CACHE_MAX = 8
 
 
 def build_eval_fns(args, model):
@@ -285,11 +286,15 @@ def build_eval_fns(args, model):
     ARGUMENT (no weights baked in), and through the remote-compile
     tunnel a jit rebuild costs seconds — repeated main() calls in one
     process (benchmark drivers defending many files) must reuse them.
+    The model itself (a hashable flax config dataclass) is part of the
+    key so a differently-configured instance can't hit a stale entry.
     """
-    key = (args.variant, args.resolution0, args.upsample,
+    key = (model, args.variant, args.resolution0, args.upsample,
            args.threshold, args.wire, args.sparse_blocks)
     if key in _EVAL_CACHE:
         return _EVAL_CACHE[key]
+    if len(_EVAL_CACHE) >= _EVAL_CACHE_MAX:
+        _EVAL_CACHE.pop(next(iter(_EVAL_CACHE)))
     # plane-latent ConvONet gets the dense-lattice fast path: planes
     # resized to the fine lattice once per batch, then gather-free slab
     # evaluation of the full fine grid. Falls back to coarse+refine for

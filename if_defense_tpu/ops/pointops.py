@@ -10,6 +10,7 @@ on-chip state, everything batched and fixed-shape.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -191,9 +192,13 @@ def farthest_point_sample(
     if start_idx is None:
         # Mosaic rejects the kernel at small/ragged shapes (observed at
         # B=2, N=128 via DUP-Net: remote compile HTTP 500); gate on
-        # VPU-friendly dims and fall back to the lax path elsewhere
+        # VPU-friendly dims and fall back to the lax path elsewhere.
+        # IFDEF_DISABLE_PALLAS_FPS=1 forces the lax path everywhere
+        # (debugging escape hatch, same spirit as the repulsion
+        # kernel's IFDEF_FORCE_FUSED_REPULSION)
         if (jax.default_backend() == "tpu" and mask is None
-                and B % 8 == 0 and N % 128 == 0):
+                and B % 8 == 0 and N % 128 == 0
+                and not os.environ.get("IFDEF_DISABLE_PALLAS_FPS")):
             from if_defense_tpu.ops.pallas_fps import fps_pallas
 
             return fps_pallas(xyz, npoint)
