@@ -166,3 +166,35 @@ def test_sharded_dense_mesh_eval_matches_single_device():
     pc_sh = shard_batch(pc, mesh)
     sharded = np.asarray(dense_fn(v_rep, encode(v_rep, pc_sh)))
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_chunked_cw_matches_single_device():
+    """The host-chunked CW path (TPU CLI default) under a dp-sharded
+    batch: the eager init/bisection glue between jitted segments must
+    preserve shardings and match the single-device result."""
+    model, variables, pc = _tiny_victim()
+    target = jnp.asarray(np.arange(8) % 4)
+    key = jax.random.key(1)
+
+    def make_logits_fn(v):
+        def logits_fn(x):
+            logits, _ = model.apply(v, x, train=False)
+            return logits
+        return logits_fn
+
+    _, adv_single, succ_single = cw_perturb(
+        make_logits_fn(variables), pc, target, key,
+        binary_step=2, num_iter=8, device_chunk_iters=3)
+
+    mesh = data_parallel_mesh()
+    v_rep = replicate(variables, mesh)
+    pc_sh = shard_batch(np.asarray(pc), mesh)
+    tgt_sh = shard_batch(np.asarray(target), mesh)
+    _, adv_sharded, succ_sharded = cw_perturb(
+        make_logits_fn(v_rep), pc_sh, tgt_sh, key,
+        binary_step=2, num_iter=8, device_chunk_iters=3)
+
+    np.testing.assert_array_equal(
+        np.asarray(succ_single), np.asarray(succ_sharded))
+    np.testing.assert_allclose(
+        np.asarray(adv_single), np.asarray(adv_sharded), atol=1e-5)
