@@ -147,9 +147,16 @@ def main(argv=None):
                     eval_step, state, def_test_ds, args.batch_size, mesh)
                 record["def_test_acc"] = def_acc
             metrics.write(**record)
-            if acc > best_acc:
+            # ">= at first eval": an all-wrong eval (acc exactly 0.0)
+            # must still produce a "best" checkpoint, or downstream
+            # consumers (attack/inference on <output>/best) hit a
+            # missing path; the reference's torch.save-on-improvement
+            # has the same latent gap but its 200-epoch runs never
+            # stay at 0.0 (`baselines/train.py:121-124`)
+            if acc > best_acc or best_epoch == 0:
                 best_acc, best_epoch = acc, epoch
-            if def_acc is not None and def_acc > best_def_acc:
+            if def_acc is not None and (def_acc > best_def_acc
+                                        or best_def_epoch == 0):
                 best_def_acc, best_def_epoch = def_acc, epoch
             # hybrid training snapshots the BEST checkpoint by DEFENDED
             # accuracy (`baselines/hybrid_train.py:130-135`); clean

@@ -34,22 +34,29 @@ def data(tmp_path_factory):
     return dict(out=out, npz=npz)
 
 
-@pytest.mark.parametrize("victim", VICTIMS)
-def test_perturb_cli_per_victim(data, victim):
-    from if_defense_tpu.cli.attack import main as attack_main
-    from if_defense_tpu.cli.inference import main as inf_main
+def _train(data, victim):
     from if_defense_tpu.cli.train import main as train_main
 
     out = data["out"]
     run_dir = str(out / victim)
-    train_main([
-        "--data", data["npz"], "--model", victim,
-        "--num_points", str(N_POINTS), "--epochs", "1",
-        "--batch_size", str(BATCH), "--eval_every", "1",
-        "--output", run_dir,
-        "--registry", str(out / "registry.json"),
-    ])
-    ckpt = os.path.join(run_dir, "best")
+    if not os.path.isdir(run_dir):
+        train_main([
+            "--data", data["npz"], "--model", victim,
+            "--num_points", str(N_POINTS), "--epochs", "1",
+            "--batch_size", str(BATCH), "--eval_every", "1",
+            "--output", run_dir,
+            "--registry", str(out / "registry.json"),
+        ])
+    return os.path.join(run_dir, "best")
+
+
+@pytest.mark.parametrize("victim", VICTIMS)
+def test_perturb_cli_per_victim(data, victim):
+    from if_defense_tpu.cli.attack import main as attack_main
+    from if_defense_tpu.cli.inference import main as inf_main
+
+    out = data["out"]
+    ckpt = _train(data, victim)
 
     out_npz = str(out / f"perturb-{victim}.npz")
     path, rate = attack_main([
@@ -71,3 +78,34 @@ def test_perturb_cli_per_victim(data, victim):
         "--num_points", str(N_POINTS), "--batch_size", str(BATCH),
         "--mode", "target"])
     assert 0.0 <= r["accuracy"] <= 1.0
+
+
+# Attack x victim combinations with distinct gradient paths: the kNN
+# attack differentiates through DGCNN's dynamic-kNN EdgeConv graph (and
+# consumes the 6-channel normals schema); Add-Cluster's critical-point
+# DBSCAN init reads input-gradient magnitudes through PointConv's
+# density-KDE forward. Neither combination is reachable from the
+# PointNet-only family smokes.
+CROSS = [("dgcnn", "knn", ["--num_iter", "8"], 0),
+         ("pointconv", "add_cluster",
+          ["--binary_step", "1", "--num_iter", "8", "--num_add", "2"],
+          2 * 32)]
+
+
+@pytest.mark.parametrize("victim,attack,extra,extra_pts", CROSS,
+                         ids=[f"{v}-{a}" for v, a, _, _ in CROSS])
+def test_cross_attack_cli(data, victim, attack, extra, extra_pts):
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    out = data["out"]
+    ckpt = _train(data, victim)
+    path, rate = attack_main([
+        "--attack", attack, "--data", data["npz"],
+        "--checkpoint", ckpt, "--model", victim,
+        "--num_points", str(N_POINTS), "--batch_size", str(BATCH),
+        "--output", str(out / f"{attack}-{victim}.npz"), *extra,
+    ])
+    assert 0.0 <= rate <= 1.0
+    d = np.load(path)
+    assert d["test_pc"].shape[1] == N_POINTS + extra_pts
+    assert np.isfinite(d["test_pc"]).all()
