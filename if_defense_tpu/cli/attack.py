@@ -93,7 +93,32 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--registry", default=None,
                    help="registry JSON for registry:<dataset> checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="write per-batch shards to <output>.partial/ and "
+                        "skip batches already done there — an interrupted "
+                        "multi-minute attack run (infra death, preemption) "
+                        "resumes at batch granularity with bit-identical "
+                        "results (the PRNG stream is replayed over skipped "
+                        "batches). The reference gets the same property "
+                        "from its per-rank npz shards "
+                        "(merge_attack_results.py)")
+    p.add_argument("--stop_after_batches", type=int, default=0,
+                   help="compute at most N new batches then exit (0 = all);"
+                        " with --resume a later invocation completes the "
+                        "file — for timeboxing long attack legs")
     return p.parse_args(argv)
+
+
+# args that do not affect attack RESULTS: execution shape / bookkeeping
+# only. device_chunk_iters is bit-identical by contract (the reason a
+# resumed run may want a DIFFERENT chunking than the run that died).
+_NON_RESULT_ARGS = ("output", "resume", "stop_after_batches",
+                    "device_chunk_iters", "registry")
+
+
+def _resume_fingerprint(args) -> dict:
+    return {k: v for k, v in sorted(vars(args).items())
+            if k not in _NON_RESULT_ARGS}
 
 
 def build_attack(args, logits_fn, masked_logits_fn=None):
@@ -245,11 +270,52 @@ def main(argv=None):
     else:
         ds = ModelNet40Attack(args.data, args.num_points)
 
+    model_name = meta.get("model", args.model or "model")
+    out = args.output or "{}-{}-{}".format(
+        args.attack, model_name, os.path.basename(args.data))
+
+    part_dir = out + ".partial"
+    if args.resume:
+        import json as _json
+
+        os.makedirs(part_dir, exist_ok=True)
+        fp = _resume_fingerprint(args)
+        fp_path = os.path.join(part_dir, "config.json")
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                old = _json.load(f)
+            if old != fp:
+                raise ValueError(
+                    f"{part_dir} holds shards from a different attack "
+                    f"configuration; delete it or change --output "
+                    f"(old={old}, new={fp})")
+        else:
+            with open(fp_path, "w") as f:
+                _json.dump(fp, f)
+
     key = jax.random.key(args.seed)
     all_adv, all_label, all_target = [], [], []
     success = 0
     total = 0
-    for batch, valid in batch_iterator(ds, args.batch_size, pad_last=True):
+    computed = 0
+    stopped_early = False
+    for bi, (batch, valid) in enumerate(
+            batch_iterator(ds, args.batch_size, pad_last=True)):
+        # one split per batch position, skipped or not, so a resumed run
+        # sees the identical per-batch key stream
+        key, sub = jax.random.split(key)
+        shard_path = os.path.join(part_dir, f"batch_{bi:05d}.npz")
+        if args.resume and os.path.exists(shard_path):
+            d = np.load(shard_path)
+            all_adv.append(d["adv"])
+            all_label.append(d["label"])
+            all_target.append(d["target"])
+            success += int(d["succ"].sum())
+            total += int(d["valid"])
+            continue
+        if args.stop_after_batches and computed >= args.stop_after_batches:
+            stopped_early = True
+            break
         pc_np = np.asarray(batch[0], np.float32)
         normal = None
         if pc_np.shape[-1] > 3:
@@ -259,24 +325,32 @@ def main(argv=None):
         label = shard_batch(np.asarray(batch[1]), mesh)
         target = (shard_batch(np.asarray(batch[2]), mesh)
                   if len(batch) > 2 else label)
-        key, sub = jax.random.split(key)
         adv, succ = run(pc, label, target, normal, sub)
         adv, succ = np.asarray(adv), np.asarray(succ)
+        b_label = np.asarray(batch[1][:valid])
+        b_target = np.asarray(batch[2][:valid] if len(batch) > 2
+                              else batch[1][:valid])
         all_adv.append(adv[:valid])
-        all_label.append(np.asarray(batch[1][:valid]))
-        all_target.append(np.asarray(batch[2][:valid] if len(batch) > 2
-                                     else batch[1][:valid]))
+        all_label.append(b_label)
+        all_target.append(b_target)
         success += int(succ[:valid].sum())
         total += valid
+        computed += 1
+        if args.resume:
+            np.savez(shard_path, adv=adv[:valid], label=b_label,
+                     target=b_target, succ=succ[:valid], valid=valid)
         # per-batch heartbeat: heavyweight victims take minutes/batch
         print(f"  [{args.attack}] {total} clouds done, "
               f"running success {success / max(total, 1):.3f}",
               flush=True)
 
+    if stopped_early:
+        rate = success / max(total, 1)
+        print(f"stopped after {computed} new batches ({total} clouds in "
+              f"shards); rerun with --resume to complete {out}")
+        return None, rate
+
     adv_pc = np.concatenate(all_adv, 0)
-    model_name = meta.get("model", args.model or "model")
-    out = args.output or "{}-{}-{}".format(
-        args.attack, model_name, os.path.basename(args.data))
     save_npz(out, {
         "test_pc": adv_pc,
         "test_label": np.concatenate(all_label, 0),
@@ -287,6 +361,10 @@ def main(argv=None):
         attack=args.attack, model=model_name, data=args.data,
         success_rate=rate, n=total, output=out)
     print(f"attack success rate {rate:.4f}; adversarial npz saved to {out}")
+    if args.resume:
+        import shutil
+
+        shutil.rmtree(part_dir, ignore_errors=True)
     return out, rate
 
 

@@ -1,0 +1,94 @@
+"""Batch-level attack resume: interrupted == uninterrupted, bit-exact.
+
+An attack leg on a heavyweight victim runs for tens of minutes; an
+infra death mid-file used to lose every completed batch (the matrix
+driver resumes only at whole-file granularity). `--resume` writes
+per-batch shards and replays the PRNG stream over skipped batches, so
+a resumed run must produce the identical npz. The reference gets the
+same robustness from per-rank shards + offline merge
+(`baselines/util/merge_attack_results.py:7-51`).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+N_POINTS = 128
+BATCH = 8
+
+
+@pytest.fixture(scope="module")
+def victim(tmp_path_factory):
+    out = tmp_path_factory.mktemp("attack_resume")
+    from tools.synthetic_dataset import make_classification_npz
+    from if_defense_tpu.cli.train import main as train_main
+
+    data = make_classification_npz(
+        str(out / "hard.npz"), train_per_class=4, test_per_class=2,
+        num_points=N_POINTS, seed=0, family="hard")
+    run_dir = str(out / "pointnet")
+    train_main([
+        "--data", data, "--model", "pointnet",
+        "--num_points", str(N_POINTS), "--epochs", "1",
+        "--batch_size", str(BATCH), "--eval_every", "1",
+        "--output", run_dir,
+        "--registry", str(out / "registry.json"),
+    ])
+    return dict(out=out, data=data, ckpt=os.path.join(run_dir, "best"))
+
+
+def _attack_args(victim, out_npz, extra=()):
+    return [
+        "--attack", "perturb", "--data", victim["data"],
+        "--checkpoint", victim["ckpt"],
+        "--num_points", str(N_POINTS), "--batch_size", str(BATCH),
+        "--binary_step", "1", "--num_iter", "8",
+        "--output", out_npz, *extra,
+    ]
+
+
+def test_resumed_run_bit_identical(victim):
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    # uninterrupted reference run (16 test clouds / batch 8 = 2 batches)
+    ref_npz = str(victim["out"] / "ref.npz")
+    path, ref_rate = attack_main(_attack_args(victim, ref_npz))
+    ref = np.load(path)
+
+    # interrupted run: one batch, then exit
+    res_npz = str(victim["out"] / "res.npz")
+    out, _ = attack_main(_attack_args(
+        victim, res_npz, ["--resume", "--stop_after_batches", "1"]))
+    assert out is None
+    part_dir = res_npz + ".partial"
+    shards = [f for f in os.listdir(part_dir) if f.startswith("batch_")]
+    assert len(shards) == 1
+    assert not os.path.exists(res_npz)
+
+    # resumed completion: must skip batch 0 and bit-match the reference
+    out, rate = attack_main(_attack_args(victim, res_npz, ["--resume"]))
+    assert out == res_npz
+    assert not os.path.exists(part_dir)        # shards cleaned up
+    got = np.load(out)
+    np.testing.assert_array_equal(got["test_pc"], ref["test_pc"])
+    np.testing.assert_array_equal(got["test_label"], ref["test_label"])
+    np.testing.assert_array_equal(got["target_label"], ref["target_label"])
+    assert rate == ref_rate
+
+
+def test_resume_refuses_config_mismatch(victim):
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    out_npz = str(victim["out"] / "mismatch.npz")
+    attack_main(_attack_args(
+        victim, out_npz, ["--resume", "--stop_after_batches", "1"]))
+    # different iteration count => different results => must refuse
+    with pytest.raises(ValueError, match="different attack configuration"):
+        attack_main([
+            "--attack", "perturb", "--data", victim["data"],
+            "--checkpoint", victim["ckpt"],
+            "--num_points", str(N_POINTS), "--batch_size", str(BATCH),
+            "--binary_step", "1", "--num_iter", "4",
+            "--output", out_npz, "--resume",
+        ])
