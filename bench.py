@@ -31,7 +31,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -39,6 +41,33 @@ import numpy as np
 sys.path.insert(0, ".")
 
 REFERENCE_CLOUDS_PER_SEC = 24.0
+
+# Last-known-good on-chip measurement, refreshed by every successful real
+# -hardware run. Fallback when the TPU tunnel is unreachable at bench
+# time: in this environment the chip sits behind a host-spawned relay
+# process that has died mid-round before (ROUND_NOTES.md) — and a dead
+# relay makes the first device op HANG forever rather than error, which
+# would otherwise turn the round's bench into a timeout with no number.
+LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LKG.json")
+
+
+def devices_or_none(timeout_s: float):
+    """jax.devices(), or None if the backend doesn't answer in time."""
+    import jax
+
+    box = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # unreachable backend surfaces either way
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box.get("devices")
 
 
 def main():
@@ -68,6 +97,26 @@ def main():
         # the axon sitecustomize pre-pins the TPU platform; --smoke must
         # run on host CPU
         jax.config.update("jax_platforms", "cpu")
+    elif devices_or_none(timeout_s=150.0) is None:
+        # dead tunnel relay: report the last on-chip measurement, marked
+        # stale, instead of hanging the round's bench run forever
+        if os.path.exists(LKG_PATH):
+            with open(LKG_PATH) as f:
+                lkg = json.load(f)
+            lkg["stale"] = True
+            lkg["anchor_note"] = (
+                "TPU backend unreachable at bench time (tunnel relay "
+                "down); values are the last successful on-chip "
+                f"measurement ({lkg.get('measured_at', 'unknown date')}). "
+                + lkg.get("anchor_note", ""))
+            print(json.dumps(lkg))
+        else:
+            print(json.dumps({
+                "metric": "convonet_opt_clouds_per_sec", "value": 0.0,
+                "unit": "clouds/s", "vs_baseline": 0.0, "stale": True,
+                "anchor_note": "TPU backend unreachable and no "
+                               "last-known-good record exists"}))
+        return
     import jax.numpy as jnp
 
     from if_defense_tpu.defense import convonet_opt_defense
@@ -107,7 +156,7 @@ def main():
     fast_cps = (f32_cps if args.f32
                 else measure("bfloat16", args.interp_refresh))
 
-    print(json.dumps({
+    line = {
         "metric": "convonet_opt_clouds_per_sec",
         "value": round(fast_cps, 2),
         "unit": "clouds/s",
@@ -118,7 +167,14 @@ def main():
         "vs_baseline_f32": round(f32_cps / REFERENCE_CLOUDS_PER_SEC, 2),
         "anchor_note": "vs_baseline anchor ~24 clouds/s is a V100 FLOP "
                        "model with ~2x error bars (bench.py docstring)",
-    }))
+    }
+    if not args.smoke:
+        # refresh the dead-tunnel fallback record
+        with open(LKG_PATH, "w") as f:
+            json.dump({**line,
+                       "measured_at": time.strftime("%Y-%m-%d %H:%M")},
+                      f, indent=2)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -302,6 +302,11 @@ def run_seed(args, seed: int) -> dict:
                     "--batch_size", str(args.batch_size),
                     "--seed", str(seed),
                     "--output", adv_out,
+                    # batch-granular shards: an infra death mid-attack
+                    # (the long legs run tens of minutes on-chip) loses
+                    # at most one batch, and the relaunch with
+                    # --reuse_artifacts picks up inside the file
+                    "--resume",
                     *extra,
                 ])
             ares = {"success_rate": rate,
