@@ -21,3 +21,17 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Re-assert the env var through the config API. In this environment a
+    # sitecustomize registers the axon TPU plugin before user code runs,
+    # and when its tunnel relay is dead the env var ALONE does not stop
+    # jax's backend discovery from hanging forever on the first device
+    # op — the post-import config.update does (tests/conftest.py and
+    # bench.py set it for the same reason). No-op when the env var is
+    # unset or the platform is healthy.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])

@@ -229,13 +229,23 @@ def farthest_point_sample(
 
 def query_ball_point(
     radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
-    mask: jax.Array | None = None,
+    mask: jax.Array | None = None, method: str = "sort",
 ) -> jax.Array:
     """Radius neighbourhood grouping with fixed group size.
 
     Mirrors `baselines/model/pointnet2.py:77-98`: take the first `nsample`
     in-radius points (by index order); slots past the in-radius count are
     filled with the group's first in-radius point.
+
+    Selection ("count", default): the j-th (0-based) in-radius index of a
+    group is the first n whose inclusive hit-count ``rank[n] =
+    cumsum(in_radius)[n]`` reaches j+1 — and because rank is
+    non-decreasing, that position equals ``sum_n [rank[n] <= j]``. One
+    cumsum + one broadcast-compare-reduce (XLA fuses the [B, S, N,
+    nsample] indicator into the reduction), instead of sorting the full
+    [B, S, N] index tensor ("sort", the default until the count path is
+    measured on-chip — tools/profile_attack.py times both). Both produce
+    identical indices.
 
     Args:
         radius: ball radius.
@@ -244,6 +254,7 @@ def query_ball_point(
         new_xyz: [B, S, 3] group centres.
         mask: optional [B, N] validity mask — masked points are treated
             as out-of-radius (never grouped).
+        method: "count" (cumsum-rank selection) or "sort" (full sort).
     Returns:
         [B, S, nsample] int32 indices into N.
     """
@@ -252,10 +263,19 @@ def query_ball_point(
     sqrdists = square_distance(new_xyz, xyz)                 # [B, S, N]
     if mask is not None:
         sqrdists = jnp.where(mask[:, None, :] > 0, sqrdists, jnp.inf)
-    arange = jnp.arange(N, dtype=jnp.int32)
-    # out-of-radius -> sentinel N so that sorting pushes them last
-    idx = jnp.where(sqrdists > radius**2, N, arange[None, None, :])
-    idx = jnp.sort(idx, axis=-1)[..., :nsample]              # [B, S, nsample]
+    if method == "count":
+        hit = (sqrdists <= radius**2).astype(jnp.int32)      # [B, S, N]
+        rank = jnp.cumsum(hit, axis=-1)                      # [B, S, N]
+        slots = jnp.arange(nsample, dtype=jnp.int32)
+        # position of the (j+1)-th hit; N when the group has <= j hits
+        idx = jnp.sum(
+            (rank[..., None] <= slots).astype(jnp.int32), axis=-2
+        )                                                    # [B, S, nsample]
+    else:
+        arange = jnp.arange(N, dtype=jnp.int32)
+        # out-of-radius -> sentinel N so that sorting pushes them last
+        idx = jnp.where(sqrdists > radius**2, N, arange[None, None, :])
+        idx = jnp.sort(idx, axis=-1)[..., :nsample]          # [B, S, nsample]
     first = idx[..., :1]                                     # first (closest-index) hit
     idx = jnp.where(idx == N, first, idx)
     # degenerate case: no point in radius at all -> fall back to index 0

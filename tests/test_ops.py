@@ -90,6 +90,28 @@ def test_query_ball_point(rng):
             np.testing.assert_array_equal(idx[b, s], want)
 
 
+def test_query_ball_point_count_matches_sort(rng):
+    """The cumsum-rank ("count") selection is index-identical to the
+    full-sort path on dense, sparse, and empty-group regimes, with and
+    without validity masks."""
+    for radius, ns in [(0.2, 8), (0.5, 16), (1.5, 4), (0.01, 8)]:
+        pts = rng.uniform(-1, 1, size=(3, 96, 3)).astype(np.float32)
+        centers = pts[:, ::7][:, :12]
+        a = ops.query_ball_point(
+            radius, ns, jnp.array(pts), jnp.array(centers), method="sort")
+        b = ops.query_ball_point(
+            radius, ns, jnp.array(pts), jnp.array(centers), method="count")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mask = (rng.uniform(size=(3, 96)) > 0.3).astype(np.float32)
+        am = ops.query_ball_point(
+            radius, ns, jnp.array(pts), jnp.array(centers),
+            mask=jnp.array(mask), method="sort")
+        bm = ops.query_ball_point(
+            radius, ns, jnp.array(pts), jnp.array(centers),
+            mask=jnp.array(mask), method="count")
+        np.testing.assert_array_equal(np.asarray(am), np.asarray(bm))
+
+
 def test_chamfer_hausdorff(rng):
     a = rng.normal(size=(2, 12, 3)).astype(np.float32)
     b = rng.normal(size=(2, 20, 3)).astype(np.float32)
