@@ -47,12 +47,60 @@ def _fps_kernel(npoint, x_ref, y_ref, z_ref, out_ref, dist_ref):
     jax.lax.fori_loop(0, npoint, body, jnp.zeros((B,), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
+def _fps_kernel_v2(npoint, p_ref, out_ref, dist_ref):
+    """Reduction-count-minimised variant (A/B candidate, see fps_pallas).
+
+    Coordinates arrive packed [3B, N] (x rows 0:B, y rows B:2B, z rows
+    2B:3B) so the centroid fetch is ONE masked reduction over [3B, N]
+    instead of three over [B, N], and the farthest-point selection is
+    max + masked min-index (2 reductions) instead of argmax. Same greedy
+    semantics and tie-breaking (first max = lowest index) as v1.
+    """
+    threeB, N = p_ref.shape
+    B = threeB // 3
+    dist_ref[:] = jnp.full((B, N), 1e30, jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (threeB, N), 1)
+
+    def body(i, far):
+        out_ref[pl.ds(i, 1), :] = far[None, :]
+        far3 = jnp.concatenate([far, far, far], 0)          # [3B]
+        onehot3 = col3 == far3[:, None]                     # [3B, N]
+        c3 = jnp.sum(jnp.where(onehot3, p_ref[:], 0.0), 1, keepdims=True)
+        sq = (p_ref[:] - c3) ** 2                           # [3B, N]
+        d = sq[0:B] + sq[B : 2 * B] + sq[2 * B : 3 * B]     # [B, N]
+        dist = jnp.minimum(dist_ref[:], d)
+        dist_ref[:] = dist
+        m = jnp.max(dist, axis=1, keepdims=True)            # [B, 1]
+        idx = jnp.min(jnp.where(dist == m, col, N), axis=1)
+        return idx.astype(jnp.int32)
+
+    jax.lax.fori_loop(0, npoint, body, jnp.zeros((B,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("npoint", "interpret", "variant"))
 def fps_pallas(
-    xyz: jax.Array, npoint: int, interpret: bool = False
+    xyz: jax.Array, npoint: int, interpret: bool = False, variant: int = 1
 ) -> jax.Array:
-    """Farthest point sampling, [B, N, 3] -> [B, npoint] int32 indices."""
+    """Farthest point sampling, [B, N, 3] -> [B, npoint] int32 indices.
+
+    variant=1 is the production kernel; variant=2 is the packed-coords /
+    fewer-reductions candidate (index-identical, kept until A/B'd on-chip
+    by tools/profile_attack.py --fps_ab).
+    """
     B, N, _ = xyz.shape
+    if variant == 2:
+        packed = jnp.concatenate(
+            [xyz[..., 0], xyz[..., 1], xyz[..., 2]], axis=0)   # [3B, N]
+        out = pl.pallas_call(
+            functools.partial(_fps_kernel_v2, npoint),
+            out_shape=jax.ShapeDtypeStruct((npoint, B), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
+            interpret=interpret,
+        )(packed)
+        return out.T
     x = xyz[..., 0]
     y = xyz[..., 1]
     z = xyz[..., 2]

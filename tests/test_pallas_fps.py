@@ -15,6 +15,21 @@ def test_fps_pallas_matches_lax():
     np.testing.assert_array_equal(a, b)
 
 
+def test_fps_pallas_v2_matches_v1():
+    """The packed-coords / fewer-reductions candidate kernel is
+    index-identical to v1 and the lax reference (incl. tie-breaking)."""
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.normal(size=(8, 128, 3)), jnp.float32)
+    a = np.asarray(farthest_point_sample(pts, 32))
+    v2 = np.asarray(fps_pallas(pts, 32, interpret=True, variant=2))
+    np.testing.assert_array_equal(a, v2)
+    # duplicated points force distance ties on the argmax
+    dup = jnp.concatenate([pts[:, :64], pts[:, :64]], axis=1)
+    a = np.asarray(farthest_point_sample(dup, 16))
+    v2 = np.asarray(fps_pallas(dup, 16, interpret=True, variant=2))
+    np.testing.assert_array_equal(a, v2)
+
+
 def test_fps_pallas_selects_distinct_points():
     rng = np.random.default_rng(1)
     pts = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)

@@ -62,6 +62,8 @@ def main(argv=None):
     p.add_argument("--num_points", type=int, default=1024)
     p.add_argument("--iters", type=int, default=20,
                    help="loop iterations per timing rep")
+    p.add_argument("--fps_ab", action="store_true",
+                   help="A/B the two Pallas FPS kernel variants")
     args = p.parse_args(argv)
 
     import jax
@@ -209,6 +211,21 @@ def main(argv=None):
         knn = jax.jit(lambda x: pointops.knn_self(20, x))
         t = bench_fn(knn, pc)
         print(f"EdgeConv knn_self(20)      {t * 1e3:8.2f} ms")
+
+    if args.fps_ab:
+        from if_defense_tpu.ops.pallas_fps import fps_pallas
+
+        interp = jax.default_backend() != "tpu"
+        for n_in, npoint in [(N, min(512, N // 2)),
+                             (min(512, N // 2), min(128, N // 4))]:
+            x = jnp.asarray(
+                rng.normal(size=(B, n_in, 3)).astype(np.float32))
+            for v in (1, 2):
+                f = jax.jit(lambda a, np_=npoint, vv=v: fps_pallas(
+                    a, np_, interpret=interp, variant=vv))
+                t = bench_fn(f, x)
+                print(f"fps_pallas v{v} {n_in}->{npoint}      "
+                      f"{t * 1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
