@@ -134,6 +134,31 @@ def main(argv=None):
     print(f"full CW Adam iteration    {t_loop * 1e3:8.2f} ms/iter "
           f"(scan of {args.iters})")
 
+    # mixed-precision trunk (bf16 trunk + f32 head, attack math f32):
+    # rejected on PointNet (trunk too small to matter, ROUND_NOTES) but
+    # unmeasured on the SA-heavy victims where the trunk dominates
+    from if_defense_tpu.attack.mixed import make_mixed_logits_fn
+
+    mixed_fn = make_mixed_logits_fn(model, variables, 8)
+
+    def margin_loss_mixed(x):
+        logits = mixed_fn(x)
+        tgt = jax.nn.one_hot(labels, logits.shape[-1])
+        real = jnp.sum(tgt * logits, axis=1)
+        other = jnp.max(logits - tgt * 1e10, axis=1)
+        return jnp.sum(jnp.maximum(other - real, 0.0)), logits
+
+    mgrad_fn = jax.value_and_grad(margin_loss_mixed, has_aux=True)
+
+    @jax.jit
+    def fwd_bwd_mixed(x):
+        (loss, _), g = mgrad_fn(x)
+        return loss, g
+
+    t_fbm = bench_fn(fwd_bwd_mixed, pc)
+    print(f"forward+input-grad mixed  {t_fbm * 1e3:8.2f} ms "
+          f"(bf16 trunk)")
+
     # --- isolated point-ops at the victim's SA shapes ------------------
     if args.model in ("pointnet2", "pointconv"):
         # (npoint, radius, nsample, feature channels entering the level)
