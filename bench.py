@@ -95,7 +95,10 @@ def main():
 
     if args.smoke:
         # the axon sitecustomize pre-pins the TPU platform; --smoke must
-        # run on host CPU
+        # run on host CPU. Set the env var too so downstream imports
+        # (the if_defense_tpu package guard honours JAX_PLATFORMS) agree
+        # with the config override rather than fighting it.
+        os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
     elif devices_or_none(timeout_s=150.0) is None:
         # dead tunnel relay: report the last on-chip measurement, marked

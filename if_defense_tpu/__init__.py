@@ -24,14 +24,19 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
+_env_platforms = _os.environ.get("JAX_PLATFORMS", "")
+if _env_platforms and "axon" not in _env_platforms.split(","):
     # Re-assert the env var through the config API. In this environment a
-    # sitecustomize registers the axon TPU plugin before user code runs,
-    # and when its tunnel relay is dead the env var ALONE does not stop
-    # jax's backend discovery from hanging forever on the first device
-    # op — the post-import config.update does (tests/conftest.py and
-    # bench.py set it for the same reason). No-op when the env var is
-    # unset or the platform is healthy.
+    # sitecustomize registers the axon TPU plugin before user code runs
+    # and pins jax_platforms="axon,cpu" via the CONFIG (which outranks
+    # the env var) — so when its tunnel relay is dead, launching a CLI
+    # with JAX_PLATFORMS=cpu alone does not stop jax's backend discovery
+    # from hanging forever on the first device op; the post-import
+    # config.update does (tests/conftest.py and bench.py set it for the
+    # same reason). Only for non-axon selections: the ambient env always
+    # says "axon", and re-asserting THAT would clobber an in-process
+    # `jax.config.update("jax_platforms", "cpu")` a caller (bench.py
+    # --smoke) made before importing this package.
     import jax as _jax
 
-    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    _jax.config.update("jax_platforms", _env_platforms)
