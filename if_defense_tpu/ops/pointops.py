@@ -237,7 +237,7 @@ def query_ball_point(
     in-radius points (by index order); slots past the in-radius count are
     filled with the group's first in-radius point.
 
-    Selection ("count", default): the j-th (0-based) in-radius index of a
+    Selection ("count"): the j-th (0-based) in-radius index of a
     group is the first n whose inclusive hit-count ``rank[n] =
     cumsum(in_radius)[n]`` reaches j+1 — and because rank is
     non-decreasing, that position equals ``sum_n [rank[n] <= j]``. One

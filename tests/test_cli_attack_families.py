@@ -85,3 +85,28 @@ def test_attack_family_cli(victim, attack, extra, extra_pts):
         "--num_points", str(d["test_pc"].shape[1]),
         "--batch_size", str(BATCH), "--mode", "target"])
     assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_matrix_alias_attack_args():
+    """The matrix driver's alias cells map to the right CLI invocations
+    (`add_hd` = CW-Add + Hausdorff adv distance, `drop100` = Drop with
+    num_drop=100 — the reference tables' parameter-variant columns)."""
+    from tools.accuracy_benchmark import attack_cli_args
+
+    cw, knn_it, nd = (10, 500), 2500, 200
+    assert attack_cli_args("perturb", cw, knn_it, nd) == (
+        "perturb", ["--binary_step", "10", "--num_iter", "500"])
+    assert attack_cli_args("add", cw, knn_it, nd) == (
+        "add", ["--binary_step", "5", "--num_iter", "500"])
+    assert attack_cli_args("add_hd", cw, knn_it, nd) == (
+        "add", ["--binary_step", "5", "--num_iter", "500",
+                "--adv_dist", "hausdorff"])
+    assert attack_cli_args("knn", cw, knn_it, nd) == (
+        "knn", ["--num_iter", "2500"])
+    assert attack_cli_args("drop", cw, knn_it, nd) == (
+        "drop", ["--num_drop", "200"])
+    assert attack_cli_args("drop100", cw, knn_it, nd) == (
+        "drop", ["--num_drop", "100"])
+    # non-parameterised attacks pass through with no extra flags
+    for a in ("fgm", "ifgm", "mifgm", "pgd"):
+        assert attack_cli_args(a, cw, knn_it, nd) == (a, [])

@@ -86,3 +86,93 @@ def test_phase_timer():
     s = t.summary()
     assert s["mul"]["count"] == 1
     assert s["mul"]["total_s"] >= 0
+
+
+def test_ingest_matrix_merge():
+    """Stage snapshots merge cell-wise: later files win on conflicts,
+    earlier-only victims/attacks survive (tools/ingest_matrix.py glues
+    the chip queue's staged accuracy-matrix runs back together)."""
+    from tools.ingest_matrix import merge_results, ordered_union, \
+        write_tables
+
+    s1 = {"victims": {"pointnet": {"clean_accuracy": 1.0, "attacks": {
+        "perturb": {"success_rate": 1.0,
+                    "attacked": {"accuracy": 0.1},
+                    "defended": {"sor": {"accuracy": 0.9}}},
+        "knn": {"success_rate": 0.8,
+                "attacked": {"accuracy": 0.2},
+                "defended": {"sor": {"accuracy": 0.8}}},
+    }}}}
+    s2 = {"victims": {
+        "pointnet": {"clean_accuracy": 1.0, "attacks": {
+            # conflicting cell: stage-2 value must win
+            "perturb": {"success_rate": 1.0,
+                        "attacked": {"accuracy": 0.15},
+                        "defended": {"sor": {"accuracy": 0.95},
+                                     "dup": {"accuracy": 0.7}}},
+        }},
+        "dgcnn": {"clean_accuracy": 0.98, "attacks": {
+            "perturb": {"success_rate": 0.9,
+                        "attacked": {"accuracy": 0.05},
+                        "defended": {"sor": {"accuracy": 0.85}}},
+        }},
+    }}
+    m = merge_results([s1, s2])
+    assert set(m["victims"]) == {"pointnet", "dgcnn"}
+    pn = m["victims"]["pointnet"]["attacks"]
+    assert set(pn) == {"perturb", "knn"}          # knn survives stage 2
+    assert pn["perturb"]["attacked"]["accuracy"] == 0.15   # later wins
+    assert pn["perturb"]["defended"]["dup"]["accuracy"] == 0.7
+
+    assert ordered_union([["a", "b"], ["b", "c"]]) == ["a", "b", "c"]
+
+    text = write_tables(m)
+    assert "## pointnet (clean 100.0)" in text
+    assert "## dgcnn (clean 98.0)" in text
+    # knn has no dup column value -> em-dash placeholder
+    knn_row = [l for l in text.splitlines() if l.startswith("| knn")][0]
+    assert "—" in knn_row
+
+
+def test_platform_guard_respects_in_process_override():
+    """The package __init__'s dead-relay guard re-asserts JAX_PLATFORMS
+    through the config API only for NON-axon selections: the ambient env
+    in this environment always says "axon", and re-asserting that would
+    clobber an in-process `jax.config.update("jax_platforms", "cpu")`
+    made before the import (exactly what bench.py --smoke does — this
+    hung the round-3 smoke until fixed)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import if_defense_tpu\n"
+        "assert jax.config.jax_platforms == '{want}', "
+        "jax.config.jax_platforms\n"
+        "print('ok')\n"
+    )
+    env_base = {"PYTHONPATH": "/root/repo"}
+    import os as _os
+
+    # env says axon (ambient default): the guard must NOT touch the
+    # caller's cpu override
+    env = dict(_os.environ, **env_base, JAX_PLATFORMS="axon")
+    r = subprocess.run([sys.executable, "-c", code.format(want="cpu")],
+                       env=env, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # env says cpu (the dead-relay escape hatch): the guard must
+    # re-assert it even though the config was never updated in-process
+    code2 = (
+        "import if_defense_tpu\n"
+        "import jax\n"
+        "assert jax.config.jax_platforms == 'cpu', "
+        "jax.config.jax_platforms\n"
+        "print('ok')\n"
+    )
+    env = dict(_os.environ, **env_base, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code2], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]

@@ -89,6 +89,33 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def attack_cli_args(attack, cw_steps, knn_iter, num_drop):
+    """(CLI attack name, extra CLI flags) for a matrix attack cell.
+
+    `attack` may be an alias for a reference-table parameter variant
+    (Tables 2-5 report Add-CD vs Add-HD and Drop-100 vs Drop-200 as
+    separate columns): `add_hd` = CW-Add with the Hausdorff adversarial
+    distance (`baselines/attack_scripts/targeted_add_attack.py`
+    --dist_func hausdorff), `drop100` = Saliency Drop with num_drop=100.
+    """
+    cli_attack = {"add_hd": "add", "drop100": "drop"}.get(attack, attack)
+    extra = []
+    if cli_attack == "perturb":
+        extra = ["--binary_step", str(cw_steps[0]),
+                 "--num_iter", str(cw_steps[1])]
+    elif cli_attack in ("add", "add_cluster", "add_object"):
+        extra = ["--binary_step", str(max(cw_steps[0] // 2, 1)),
+                 "--num_iter", str(cw_steps[1])]
+        if attack == "add_hd":
+            extra += ["--adv_dist", "hausdorff"]
+    elif cli_attack == "knn":
+        extra = ["--num_iter", str(knn_iter)]
+    elif cli_attack == "drop":
+        extra = ["--num_drop",
+                 "100" if attack == "drop100" else str(num_drop)]
+    return cli_attack, extra
+
+
 def run_seed(args, seed: int) -> dict:
     from if_defense_tpu.cli.attack import main as attack_main
     from if_defense_tpu.cli.defend_npz import main as defend_main
@@ -272,18 +299,8 @@ def run_seed(args, seed: int) -> dict:
                                   for k, v in ares["defended"].items()),
                       flush=True)
                 continue
-            extra = []
-            if attack == "perturb":
-                extra = ["--binary_step", str(cw_steps[0]),
-                         "--num_iter", str(cw_steps[1])]
-            elif attack in ("add", "add_cluster", "add_object"):
-                extra = ["--binary_step",
-                         str(max(cw_steps[0] // 2, 1)),
-                         "--num_iter", str(cw_steps[1])]
-            elif attack == "knn":
-                extra = ["--num_iter", str(knn_iter)]
-            elif attack == "drop":
-                extra = ["--num_drop", str(num_drop)]
+            cli_attack, extra = attack_cli_args(
+                attack, cw_steps, knn_iter, num_drop)
             t0 = time.time()
             adv_out = os.path.join(vdir, f"{attack}-{victim}.npz")
             if (args.reuse_artifacts and os.path.exists(adv_out)
@@ -296,7 +313,7 @@ def run_seed(args, seed: int) -> dict:
                       f"(success {rate:.3f})", flush=True)
             else:
                 adv_path, rate = attack_main([
-                    "--attack", attack, "--data", cls_npz,
+                    "--attack", cli_attack, "--data", cls_npz,
                     "--checkpoint", ckpt,
                     "--num_points", str(args.num_points),
                     "--batch_size", str(args.batch_size),
