@@ -171,8 +171,11 @@ def main():
         "anchor_note": "vs_baseline anchor ~24 clouds/s is a V100 FLOP "
                        "model with ~2x error bars (bench.py docstring)",
     }
-    if not args.smoke:
-        # refresh the dead-tunnel fallback record
+    if not args.smoke and jax.default_backend() == "tpu":
+        # refresh the dead-tunnel fallback record — only from a REAL
+        # on-chip run; a CPU-backend run (JAX_PLATFORMS=cpu on a box
+        # without the tunnel) must not poison the "last-known-good
+        # on-chip measurement" with a CPU number
         with open(LKG_PATH, "w") as f:
             json.dump({**line,
                        "measured_at": time.strftime("%Y-%m-%d %H:%M")},

@@ -33,10 +33,15 @@ if _env_platforms and "axon" not in _env_platforms.split(","):
     # with JAX_PLATFORMS=cpu alone does not stop jax's backend discovery
     # from hanging forever on the first device op; the post-import
     # config.update does (tests/conftest.py and bench.py set it for the
-    # same reason). Only for non-axon selections: the ambient env always
-    # says "axon", and re-asserting THAT would clobber an in-process
-    # `jax.config.update("jax_platforms", "cpu")` a caller (bench.py
-    # --smoke) made before importing this package.
+    # same reason). Two guards so a library import never clobbers an
+    # explicit in-process choice: only non-axon env selections (the
+    # ambient env always says "axon"; re-asserting that would undo a
+    # caller's `jax.config.update("jax_platforms", "cpu")` — it hung
+    # bench.py --smoke), and only while the config still holds the
+    # plugin's axon default (a caller who already updated it chose
+    # deliberately).
     import jax as _jax
 
-    _jax.config.update("jax_platforms", _env_platforms)
+    _cur = _jax.config.jax_platforms or ""
+    if "axon" in _cur.split(","):
+        _jax.config.update("jax_platforms", _env_platforms)

@@ -292,9 +292,16 @@ def _cw_fused_env(fns, attack_lr, init_weight, max_weight, binary_step,
     )
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)
 def _perturb_fns(logits_fn, dist_fn, adv_fn):
-    """Stable (cached) env-fn tuple for the chunked perturb attack."""
+    """Stable (cached) env-fn tuple for the chunked perturb attack.
+
+    The cache exists for IDENTITY stability within one attack run (the
+    tuple is a static jit arg — a fresh tuple per call would retrace).
+    It is kept small (8, like the CLI closure caches) because each entry
+    pins its logits_fn closure — replicated device-resident victim
+    params — and entries never hit across CLI invocations (every
+    attack_main builds a fresh logits_fn)."""
 
     def logits_env(env, adv):
         return logits_fn(adv)
@@ -314,7 +321,7 @@ def _perturb_fns(logits_fn, dist_fn, adv_fn):
     return (logits_env, dist_env, init_env, record_env, post_env, adv_fn)
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)
 def _add_fns(logits_fn, dist_fn, adv_fn):
     """Env-fn tuple for add-family attacks (adv = the added points,
     initialised from env["init0"], forward on concat(ori, adv))."""

@@ -134,7 +134,7 @@ def far_chamfer_dist(added: jax.Array, ori: jax.Array, num_add: int,
     return farthest_dist(clusters) + chamfer_weight * chamfer_dist(added, ori)
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=8)
 def _cluster_dist_fn(num_add: int):
     """Stable per-num_add distance fn (lru: stable identity for the
     chunked path's static jit args)."""
@@ -223,7 +223,7 @@ def load_airplane(obj_num_p: int, num_add: int, scaling: float,
     return out
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=8)
 def _object_fns(logits_fn, adv_fn, chamfer_weight: float):
     """Env-fn tuple for the chunked object attack. Per-batch arrays live
     in env (ori/objects0/centers); shapes are derived from them so one

@@ -36,7 +36,7 @@ from if_defense_tpu.attack import (
     pgd,
     saliency_drop,
 )
-from if_defense_tpu.cli.inference import load_eval_model
+from if_defense_tpu.cli.inference import load_eval_model, resolve_checkpoint
 from if_defense_tpu.data import (
     ModelNet40Attack,
     ModelNet40NormalAttack,
@@ -112,13 +112,20 @@ def parse_args(argv=None):
 # args that do not affect attack RESULTS: execution shape / bookkeeping
 # only. device_chunk_iters is bit-identical by contract (the reason a
 # resumed run may want a DIFFERENT chunking than the run that died).
+# registry and the raw checkpoint name are excluded because their EFFECT
+# — the resolved checkpoint path — is fingerprinted instead: two runs
+# whose registries map `registry:<dataset>` to different victims must
+# NOT merge shards. (A checkpoint retrained in place between runs still
+# slips through; the benchmark drivers always write fresh paths.)
 _NON_RESULT_ARGS = ("output", "resume", "stop_after_batches",
-                    "device_chunk_iters", "registry")
+                    "device_chunk_iters", "registry", "checkpoint")
 
 
-def _resume_fingerprint(args) -> dict:
-    return {k: v for k, v in sorted(vars(args).items())
-            if k not in _NON_RESULT_ARGS}
+def _resume_fingerprint(args, resolved_checkpoint: str) -> dict:
+    fp = {k: v for k, v in sorted(vars(args).items())
+          if k not in _NON_RESULT_ARGS}
+    fp["checkpoint"] = os.path.abspath(resolved_checkpoint)
+    return fp
 
 
 def build_attack(args, logits_fn, masked_logits_fn=None):
@@ -237,8 +244,10 @@ def build_attack(args, logits_fn, masked_logits_fn=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    model, variables, meta = load_eval_model(
+    resolved_ckpt = resolve_checkpoint(
         args.checkpoint, args.model, args.num_points, args.registry)
+    model, variables, meta = load_eval_model(
+        resolved_ckpt, args.model, args.num_points)
 
     # batch-axis data parallelism: victim params replicated over the mesh,
     # every input batch sharded on dp — XLA SPMD partitions the whole
@@ -279,7 +288,7 @@ def main(argv=None):
         import json as _json
 
         os.makedirs(part_dir, exist_ok=True)
-        fp = _resume_fingerprint(args)
+        fp = _resume_fingerprint(args, resolved_ckpt)
         fp_path = os.path.join(part_dir, "config.json")
         if os.path.exists(fp_path):
             with open(fp_path) as f:
@@ -337,8 +346,14 @@ def main(argv=None):
         total += valid
         computed += 1
         if args.resume:
-            np.savez(shard_path, adv=adv[:valid], label=b_label,
-                     target=b_target, succ=succ[:valid], valid=valid)
+            # atomic commit: a kill mid-savez (the exact failure --resume
+            # exists for) must not leave a truncated shard that poisons
+            # every later resume with BadZipFile
+            tmp = shard_path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, adv=adv[:valid], label=b_label,
+                         target=b_target, succ=succ[:valid], valid=valid)
+            os.replace(tmp, shard_path)
         # per-batch heartbeat: heavyweight victims take minutes/batch
         print(f"  [{args.attack}] {total} clouds done, "
               f"running success {success / max(total, 1):.3f}",

@@ -23,6 +23,7 @@ import numpy as np
 from if_defense_tpu.data import load_npz, save_npz
 from if_defense_tpu.defense import DUPNet, sor_defense_fixed, srs_defense
 from if_defense_tpu.parallel import best_data_mesh, replicate, shard_batch
+from if_defense_tpu.utils.cache import BoundedCache
 from if_defense_tpu.utils.params_io import load_params_npz
 
 DEFAULT_PUNET_WEIGHTS = os.path.join(
@@ -49,8 +50,7 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-_DEFENSE_CACHE: dict = {}
-_DEFENSE_CACHE_MAX = 8
+_DEFENSE_CACHE = BoundedCache()
 
 
 def build_defense_fn(name: str, args, mesh=None):
@@ -67,12 +67,8 @@ def build_defense_fn(name: str, args, mesh=None):
     wmtime = os.path.getmtime(wpath) if os.path.exists(wpath) else None
     key = (name, args.srs_drop_num, args.sor_k, args.sor_alpha,
            args.npoint, wpath, wmtime, args.batch_size, mesh is not None)
-    if key in _DEFENSE_CACHE:
-        return _DEFENSE_CACHE[key]
-    if len(_DEFENSE_CACHE) >= _DEFENSE_CACHE_MAX:
-        _DEFENSE_CACHE.pop(next(iter(_DEFENSE_CACHE)))
-    _DEFENSE_CACHE[key] = _build_defense_fn(name, args, mesh)
-    return _DEFENSE_CACHE[key]
+    return _DEFENSE_CACHE.get_or_build(
+        key, lambda: _build_defense_fn(name, args, mesh))
 
 
 def _build_defense_fn(name: str, args, mesh=None):

@@ -23,6 +23,7 @@ from if_defense_tpu.models import build_model
 from if_defense_tpu.parallel import best_data_mesh, shard_batch
 from if_defense_tpu.training import make_eval_step
 from if_defense_tpu.utils import MetricsWriter
+from if_defense_tpu.utils.cache import BoundedCache
 from if_defense_tpu.utils.checkpoint import restore_checkpoint_raw
 
 
@@ -38,13 +39,14 @@ def adjust_num_points(num_points: int, data_path: str) -> int:
     return num_points
 
 
-def load_eval_model(checkpoint: str, model_name: str | None = None,
-                    num_points: int = 1024, registry: str | None = None):
-    """Restore a checkpoint into eval variables; returns (model, vars, meta).
+def resolve_checkpoint(checkpoint: str, model_name: str | None = None,
+                       num_points: int = 1024,
+                       registry: str | None = None) -> str:
+    """Resolve a `registry:<dataset>` name to its checkpoint path.
 
-    `--checkpoint registry:<dataset>` resolves through the checkpoint
-    registry (the BEST_WEIGHTS path, `baselines/config.py:4-41`) using the
-    model name and point count, as `inference.py:152,184-187` did.
+    The registry is the BEST_WEIGHTS equivalent (`baselines/config.py:
+    4-41`), keyed by (dataset, model, num_points) as `inference.py:152,
+    184-187` did. Plain paths pass through unchanged.
     """
     if checkpoint.startswith("registry:"):
         from if_defense_tpu.utils.registry import lookup_checkpoint
@@ -53,6 +55,15 @@ def load_eval_model(checkpoint: str, model_name: str | None = None,
             raise ValueError("registry: checkpoints need --model")
         checkpoint = lookup_checkpoint(
             checkpoint[len("registry:"):], model_name, num_points, registry)
+    return checkpoint
+
+
+def load_eval_model(checkpoint: str, model_name: str | None = None,
+                    num_points: int = 1024, registry: str | None = None):
+    """Restore a checkpoint into eval variables; returns (model, vars,
+    meta). `registry:` names resolve via `resolve_checkpoint`."""
+    checkpoint = resolve_checkpoint(
+        checkpoint, model_name, num_points, registry)
     raw = restore_checkpoint_raw(checkpoint)
     meta = raw.get("metadata", {})
     name = model_name or meta.get("model")
@@ -86,8 +97,7 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-_EVAL_CACHE: dict = {}
-_EVAL_CACHE_MAX = 8
+_EVAL_CACHE = BoundedCache()
 
 
 def _load_eval_cached(args):
@@ -100,26 +110,22 @@ def _load_eval_cached(args):
     320-cloud evaluation. registry: names are resolved BEFORE keying
     (the registry file is re-read each call), and the key includes the
     resolved path's mtime — so both a re-registered and a re-trained
-    checkpoint are picked up. FIFO-bounded so a long sweep over many
+    checkpoint are picked up. num_points is deliberately NOT in the key:
+    it only matters for registry resolution (already done), and the
+    matrix driver scores per-file point counts (1024, +512 add, +96
+    cluster, ...) against ONE victim — keying on it would re-restore the
+    same checkpoint per count. FIFO-bounded so a long sweep over many
     victims can't pin unbounded device-resident params."""
-    ck = args.checkpoint
-    if ck.startswith("registry:"):
-        from if_defense_tpu.utils.registry import lookup_checkpoint
-
-        if args.model is None:
-            raise ValueError("registry: checkpoints need --model")
-        ck = lookup_checkpoint(
-            ck[len("registry:"):], args.model, args.num_points,
-            args.registry)
+    ck = resolve_checkpoint(
+        args.checkpoint, args.model, args.num_points, args.registry)
     mtime = os.path.getmtime(ck) if os.path.exists(ck) else None
-    key = (os.path.abspath(ck), mtime, args.model, args.num_points)
-    if key not in _EVAL_CACHE:
-        if len(_EVAL_CACHE) >= _EVAL_CACHE_MAX:
-            _EVAL_CACHE.pop(next(iter(_EVAL_CACHE)))
-        model, variables, meta = load_eval_model(
-            ck, args.model, args.num_points, args.registry)
-        _EVAL_CACHE[key] = (model, variables, meta, make_eval_step(model))
-    return _EVAL_CACHE[key]
+    key = (os.path.abspath(ck), mtime, args.model)
+
+    def build():
+        model, variables, meta = load_eval_model(ck, args.model)
+        return model, variables, meta, make_eval_step(model)
+
+    return _EVAL_CACHE.get_or_build(key, build)
 
 
 def main(argv=None):

@@ -26,6 +26,7 @@ from if_defense_tpu.defense.ifdefense import (
 from if_defense_tpu.implicit import ConvOccupancyNetwork, OccupancyNetwork
 from if_defense_tpu.parallel import best_data_mesh, replicate, shard_batch
 from if_defense_tpu.utils import MetricsWriter
+from if_defense_tpu.utils.cache import BoundedCache
 from if_defense_tpu.utils.params_io import load_params_npz
 
 
@@ -71,8 +72,7 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-_DEFEND_CACHE: dict = {}
-_DEFEND_CACHE_MAX = 8
+_DEFEND_CACHE = BoundedCache()
 
 
 def build_defend_fn(args):
@@ -105,22 +105,18 @@ def build_defend_fn(args):
     wpath = os.path.abspath(args.weights)
     key = (args.variant, wpath, os.path.getmtime(wpath),
            args.batch_size, tuple(sorted(common.items())))
-    if key in _DEFEND_CACHE:
-        return _DEFEND_CACHE[key]
-    if len(_DEFEND_CACHE) >= _DEFEND_CACHE_MAX:
-        # FIFO bound: a long sweep over many weights/configs must not
-        # pin unbounded device-resident replicated params
-        _DEFEND_CACHE.pop(next(iter(_DEFEND_CACHE)))
-    mesh = best_data_mesh(args.batch_size)
-    variables = replicate(load_params_npz(args.weights), mesh)
-    if args.variant == "convonet":
-        model = ConvOccupancyNetwork()
-        fn = convonet_opt_defense(model, variables, **common)
-    else:
-        model = OccupancyNetwork()
-        fn = onet_opt_defense(model, variables, **common)
-    _DEFEND_CACHE[key] = (fn, mesh)
-    return _DEFEND_CACHE[key]
+
+    def build():
+        mesh = best_data_mesh(args.batch_size)
+        variables = replicate(load_params_npz(args.weights), mesh)
+        if args.variant == "convonet":
+            fn = convonet_opt_defense(
+                ConvOccupancyNetwork(), variables, **common)
+        else:
+            fn = onet_opt_defense(OccupancyNetwork(), variables, **common)
+        return fn, mesh
+
+    return _DEFEND_CACHE.get_or_build(key, build)
 
 
 def defend_clouds(defend, mesh, pc: np.ndarray, args) -> np.ndarray:

@@ -40,6 +40,7 @@ from if_defense_tpu.implicit.generation import (
 from if_defense_tpu.ops import normalize_unit_cube
 from if_defense_tpu.parallel import best_data_mesh, replicate, shard_batch
 from if_defense_tpu.utils import MetricsWriter
+from if_defense_tpu.utils.cache import BoundedCache
 from if_defense_tpu.utils.params_io import load_params_npz
 
 
@@ -275,8 +276,7 @@ def get_save_name(path: str, variant: str) -> str:
     return os.path.join(folder, f"{variant}_remesh-{os.path.basename(path)}")
 
 
-_EVAL_CACHE: dict = {}
-_EVAL_CACHE_MAX = 8
+_EVAL_CACHE = BoundedCache()
 
 
 def build_eval_fns(args, model):
@@ -291,40 +291,40 @@ def build_eval_fns(args, model):
     """
     key = (model, args.variant, args.resolution0, args.upsample,
            args.threshold, args.wire, args.sparse_blocks)
-    if key in _EVAL_CACHE:
-        return _EVAL_CACHE[key]
-    if len(_EVAL_CACHE) >= _EVAL_CACHE_MAX:
-        _EVAL_CACHE.pop(next(iter(_EVAL_CACHE)))
-    # plane-latent ConvONet gets the dense-lattice fast path: planes
-    # resized to the fine lattice once per batch, then gather-free slab
-    # evaluation of the full fine grid. Falls back to coarse+refine for
-    # grid-type latents / ONet.
-    dense_fn, sparse_fn = None, None
-    if args.variant == "convonet":
-        from if_defense_tpu.implicit.generation import (
-            make_convonet_dense_eval,
-            make_convonet_sparse_eval,
-        )
 
-        # same box the generate_meshes query grid uses (1 + padding)
-        dense_fn = make_convonet_dense_eval(
-            model, args.resolution0 * args.upsample, 1.0 + DEFAULT_PADDING)
-        if args.wire == "sparse":
-            sparse_fn = make_convonet_sparse_eval(
+    def build():
+        # plane-latent ConvONet gets the dense-lattice fast path: planes
+        # resized to the fine lattice once per batch, then gather-free
+        # slab evaluation of the full fine grid. Falls back to
+        # coarse+refine for grid-type latents / ONet.
+        dense_fn, sparse_fn = None, None
+        if args.variant == "convonet":
+            from if_defense_tpu.implicit.generation import (
+                make_convonet_dense_eval,
+                make_convonet_sparse_eval,
+            )
+
+            # same box the generate_meshes query grid uses (1 + padding)
+            dense_fn = make_convonet_dense_eval(
                 model, args.resolution0 * args.upsample,
-                1.0 + DEFAULT_PADDING, args.threshold,
-                max_blocks=args.sparse_blocks)
+                1.0 + DEFAULT_PADDING)
+            if args.wire == "sparse":
+                sparse_fn = make_convonet_sparse_eval(
+                    model, args.resolution0 * args.upsample,
+                    1.0 + DEFAULT_PADDING, args.threshold,
+                    max_blocks=args.sparse_blocks)
 
-    # ONE stable decode_fn for the whole process: eval_points_batched
-    # hashes it as a static jit argument, so a per-run closure would
-    # recompile the (ONet / exact-path) occupancy evaluation every run
-    def decode_fn(v, p, cc):
-        return model.apply(v, p, cc, method="decode")
+        # ONE stable decode_fn for the whole process: eval_points_batched
+        # hashes it as a static jit argument, so a per-run closure would
+        # recompile the (ONet / exact-path) occupancy evaluation each run
+        def decode_fn(v, p, cc):
+            return model.apply(v, p, cc, method="decode")
 
-    encode_fn = jax.jit(
-        lambda v, p: model.apply(v, p, method="encode_inputs"))
-    _EVAL_CACHE[key] = (dense_fn, sparse_fn, decode_fn, encode_fn)
-    return _EVAL_CACHE[key]
+        encode_fn = jax.jit(
+            lambda v, p: model.apply(v, p, method="encode_inputs"))
+        return dense_fn, sparse_fn, decode_fn, encode_fn
+
+    return _EVAL_CACHE.get_or_build(key, build)
 
 
 def main(argv=None):

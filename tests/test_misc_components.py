@@ -176,3 +176,26 @@ def test_platform_guard_respects_in_process_override():
     r = subprocess.run([sys.executable, "-c", code2], env=env,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_bounded_cache_fifo():
+    from if_defense_tpu.utils.cache import BoundedCache
+
+    c = BoundedCache(maxsize=2)
+    builds = []
+
+    def make(v):
+        def build():
+            builds.append(v)
+            return v
+        return build
+
+    assert c.get_or_build("a", make(1)) == 1
+    assert c.get_or_build("a", make(99)) == 1       # hit, no rebuild
+    assert builds == [1]
+    assert c.get_or_build("b", make(2)) == 2
+    assert c.get_or_build("c", make(3)) == 3        # evicts "a" (oldest)
+    assert "a" not in c and "b" in c and "c" in c
+    assert len(c) == 2
+    assert c.get_or_build("a", make(4)) == 4        # rebuilt after evict
+    assert builds == [1, 2, 3, 4]
