@@ -315,13 +315,23 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         shard_path = os.path.join(part_dir, f"batch_{bi:05d}.npz")
         if args.resume and os.path.exists(shard_path):
-            d = np.load(shard_path)
-            all_adv.append(d["adv"])
-            all_label.append(d["label"])
-            all_target.append(d["target"])
-            success += int(d["succ"].sum())
-            total += int(d["valid"])
-            continue
+            try:
+                d = np.load(shard_path)
+                shard = {k: d[k] for k in
+                         ("adv", "label", "target", "succ", "valid")}
+            except Exception as e:
+                # a shard truncated by a kill mid-write (runs predating
+                # the atomic tmp+replace commit) is recomputed, not fatal
+                print(f"  [resume] corrupt shard {shard_path} "
+                      f"({type(e).__name__}) — recomputing", flush=True)
+                os.remove(shard_path)
+            else:
+                all_adv.append(shard["adv"])
+                all_label.append(shard["label"])
+                all_target.append(shard["target"])
+                success += int(shard["succ"].sum())
+                total += int(shard["valid"])
+                continue
         if args.stop_after_batches and computed >= args.stop_after_batches:
             stopped_early = True
             break

@@ -92,3 +92,28 @@ def test_resume_refuses_config_mismatch(victim):
             "--binary_step", "1", "--num_iter", "4",
             "--output", out_npz, "--resume",
         ])
+
+
+def test_resume_recomputes_corrupt_shard(victim):
+    """A shard truncated by a kill mid-write (runs predating the atomic
+    tmp+replace commit) must be recomputed, not crash every resume."""
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    ref_npz = str(victim["out"] / "ref2.npz")
+    path, ref_rate = attack_main(_attack_args(victim, ref_npz))
+    ref = np.load(path)
+
+    out_npz = str(victim["out"] / "corrupt.npz")
+    attack_main(_attack_args(
+        victim, out_npz, ["--resume", "--stop_after_batches", "1"]))
+    part_dir = out_npz + ".partial"
+    shard, = [f for f in os.listdir(part_dir) if f.startswith("batch_")]
+    full = os.path.join(part_dir, shard)
+    blob = open(full, "rb").read()
+    with open(full, "wb") as f:                 # truncate mid-zip
+        f.write(blob[: len(blob) // 2])
+
+    out, rate = attack_main(_attack_args(victim, out_npz, ["--resume"]))
+    got = np.load(out)
+    np.testing.assert_array_equal(got["test_pc"], ref["test_pc"])
+    assert rate == ref_rate
