@@ -65,10 +65,25 @@ def load_metadata(path: str) -> dict:
 
 
 def restore_checkpoint_raw(path: str) -> dict:
-    """Restore a checkpoint without a template (raw numpy pytree)."""
+    """Restore a checkpoint without a template (raw numpy pytree).
+
+    Template-less restore is deliberate here — the model architecture is
+    chosen FROM the checkpoint's metadata sidecar, so no target tree can
+    exist yet. Orbax logs an UNSAFE warning for every such restore; it's
+    suppressed for this one known-safe call (the tree feeds build_model,
+    which validates shapes on first apply) rather than globally.
+    """
+    import logging
+
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    out = dict(ckptr.restore(path))
+    logger = logging.getLogger("absl")
+    prev = logger.level
+    logger.setLevel(logging.ERROR)
+    try:
+        out = dict(ckptr.restore(path))
+    finally:
+        logger.setLevel(prev)
     out["metadata"] = load_metadata(path)
     return out
 
