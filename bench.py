@@ -52,8 +52,17 @@ LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_LKG.json")
 
 
-def devices_or_none(timeout_s: float):
-    """jax.devices(), or None if the backend doesn't answer in time."""
+def devices_or_none(timeout_s: float, retries: int = 1):
+    """jax.devices(), or None if the backend doesn't answer in time.
+
+    Distinguishes a probe that ERRORED (backend said no) from one that
+    TIMED OUT (backend said nothing — dead relay, or a slow cold
+    remote-compile tunnel). A timeout is retried once with a doubled
+    budget so a slow-but-alive tunnel isn't misclassified as dead
+    (ADVICE r3); the daemon probe thread from a timed-out attempt is
+    left running and its late success is picked up by the retry's
+    shared box.
+    """
     import jax
 
     box = {}
@@ -66,8 +75,20 @@ def devices_or_none(timeout_s: float):
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
-    return box.get("devices")
+    for attempt in range(retries + 1):
+        t.join(timeout_s * (2 ** attempt))
+        if "devices" in box:
+            return box["devices"]
+        if "error" in box:
+            print(f"[bench] backend probe errored: {box['error']}",
+                  file=sys.stderr)
+            return None
+        print(f"[bench] backend probe TIMED OUT after "
+              f"{timeout_s * (2 ** attempt):.0f}s"
+              + (" — retrying" if attempt < retries else
+                 " — treating backend as unreachable"),
+              file=sys.stderr)
+    return None
 
 
 def main():
@@ -81,6 +102,11 @@ def main():
     parser.add_argument("--num_batches", type=int, default=8)
     parser.add_argument("--f32", action="store_true",
                         help="full-f32 loop (reference numerics)")
+    parser.add_argument("--probe_timeout", type=float, default=150.0,
+                        help="seconds to wait for the TPU backend probe "
+                             "before falling back to the last-known-good "
+                             "record (a timeout is retried once with a "
+                             "doubled budget)")
     parser.add_argument("--interp_refresh", type=int, default=16,
                         help="decoder corner-cache refresh window "
                              "(1 = exact reference interpolation every "
@@ -100,7 +126,7 @@ def main():
         # with the config override rather than fighting it.
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
-    elif devices_or_none(timeout_s=150.0) is None:
+    elif devices_or_none(timeout_s=args.probe_timeout) is None:
         # dead tunnel relay: report the last on-chip measurement, marked
         # stale, instead of hanging the round's bench run forever
         if os.path.exists(LKG_PATH):
@@ -112,6 +138,19 @@ def main():
                 "down); values are the last successful on-chip "
                 f"measurement ({lkg.get('measured_at', 'unknown date')}). "
                 + lkg.get("anchor_note", ""))
+            # flag when the requested workload differs from the recorded
+            # one, so a fallback never silently reports a number from a
+            # different config as this run's measurement (ADVICE r3)
+            req = {"batch_size": args.batch_size,
+                   "num_batches": args.num_batches,
+                   "f32": args.f32,
+                   "interp_refresh": args.interp_refresh}
+            rec = lkg.get("bench_config")
+            if rec is not None and rec != req:
+                lkg["config_mismatch"] = {"requested": req, "recorded": rec}
+                lkg["anchor_note"] = (
+                    "WARNING: recorded config differs from requested "
+                    f"({rec} vs {req}). " + lkg["anchor_note"])
             print(json.dumps(lkg))
         else:
             print(json.dumps({
@@ -171,13 +210,19 @@ def main():
         "anchor_note": "vs_baseline anchor ~24 clouds/s is a V100 FLOP "
                        "model with ~2x error bars (bench.py docstring)",
     }
-    if not args.smoke and jax.default_backend() == "tpu":
+    bench_config = {"batch_size": args.batch_size,
+                    "num_batches": args.num_batches,
+                    "f32": args.f32,
+                    "interp_refresh": args.interp_refresh}
+    default_config = (args.batch_size == 48 and args.num_batches == 8
+                      and not args.f32 and args.interp_refresh == 16)
+    if not args.smoke and jax.default_backend() == "tpu" and default_config:
         # refresh the dead-tunnel fallback record — only from a REAL
-        # on-chip run; a CPU-backend run (JAX_PLATFORMS=cpu on a box
-        # without the tunnel) must not poison the "last-known-good
-        # on-chip measurement" with a CPU number
+        # on-chip run AT THE DEFAULT CONFIG; a CPU-backend run or a
+        # non-default workload (--batch_size/--f32/... sweeps) must not
+        # poison the "last-known-good on-chip measurement" (ADVICE r3)
         with open(LKG_PATH, "w") as f:
-            json.dump({**line,
+            json.dump({**line, "bench_config": bench_config,
                        "measured_at": time.strftime("%Y-%m-%d %H:%M")},
                       f, indent=2)
     print(json.dumps(line))

@@ -125,7 +125,23 @@ def _resume_fingerprint(args, resolved_checkpoint: str) -> dict:
     fp = {k: v for k, v in sorted(vars(args).items())
           if k not in _NON_RESULT_ARGS}
     fp["checkpoint"] = os.path.abspath(resolved_checkpoint)
+    # identify inputs by mtime too, not just path: a dataset npz
+    # regenerated in place or a checkpoint retrained in place between
+    # runs must not silently merge shards computed from different
+    # inputs (ADVICE r3; mirrors the inference/defense caches)
+    fp["checkpoint_mtime"] = _mtime_or_none(fp["checkpoint"])
+    if getattr(args, "data", None):
+        fp["data_mtime"] = _mtime_or_none(args.data)
     return fp
+
+
+def _mtime_or_none(path: str):
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        # orbax checkpoints are directories; stat the dir itself, and if
+        # even that fails leave the fingerprint path-only as before
+        return None
 
 
 def build_attack(args, logits_fn, masked_logits_fn=None):

@@ -71,19 +71,31 @@ def restore_checkpoint_raw(path: str) -> dict:
     chosen FROM the checkpoint's metadata sidecar, so no target tree can
     exist yet. Orbax logs an UNSAFE warning for every such restore; it's
     suppressed for this one known-safe call (the tree feeds build_model,
-    which validates shapes on first apply) rather than globally.
+    which validates shapes on first apply) rather than globally. The
+    suppression is a message-targeted logging.Filter, not a level change,
+    so concurrent restores / unrelated absl warnings during the window
+    are unaffected (ADVICE r3).
     """
     import logging
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
+
+    class _DropTemplateLessWarning(logging.Filter):
+        def filter(self, record):
+            try:
+                msg = record.getMessage()
+            except Exception:
+                return True
+            return "expects a target tree to be provided" not in msg
+
     logger = logging.getLogger("absl")
-    prev = logger.level
-    logger.setLevel(logging.ERROR)
+    flt = _DropTemplateLessWarning()
+    logger.addFilter(flt)
     try:
         out = dict(ckptr.restore(path))
     finally:
-        logger.setLevel(prev)
+        logger.removeFilter(flt)
     out["metadata"] = load_metadata(path)
     return out
 
