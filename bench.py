@@ -16,6 +16,14 @@ unfused kernels reach, plus per-iteration Python/launch overhead — ~8 s
 per batch. vs_baseline = measured / 24.0. The BASELINE.md target of a
 >=20x per-cloud speedup therefore corresponds to vs_baseline >= 20.
 
+Calibrated anchor (round 4): tools/calibrate_anchor.py RAN the actual
+torch reference on this host's CPU (0.30 clouds/s, 17.7 GFLOP/cloud via
+FlopCounterMode, 3.25%% of the measured 1-core matmul peak) and scaled
+that measured efficiency to V100 f32 peak: 28.8 clouds/s. When
+ANCHOR_CALIBRATION.json is present the output adds
+`vs_baseline_calibrated` (= value / 28.8) plus `mfu` and `hbm_util`
+roofline figures from exact XLA cost-analysis FLOP/byte counts.
+
 Precision: the headline `value` runs the fast path (compute_dtype=
 bfloat16 with f32 master points/Adam state + corner-cache interpolation
 R=16); EVERY run also measures the f32-exact reference-numerics mode and
@@ -41,6 +49,32 @@ import numpy as np
 sys.path.insert(0, ".")
 
 REFERENCE_CLOUDS_PER_SEC = 24.0
+
+# Measured calibration of the anchor (tools/calibrate_anchor.py): the
+# actual torch reference pipeline run on this host's CPU, FLOPs counted
+# with FlopCounterMode, efficiency scaled to V100 f32 peak. Read at
+# bench time; adds vs_baseline_calibrated / mfu / hbm_util fields.
+CALIBRATION_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "ANCHOR_CALIBRATION.json")
+
+# device_kind -> (peak matmul FLOP/s in the loop's dominant dtype tier,
+# HBM bytes/s), published specs
+TPU_PEAKS = {
+    "TPU v4": (275e12, 1228e9),
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v5": (459e12, 2765e9),
+    "TPU v6 lite": (918e12, 1640e9),
+    "TPU v6e": (918e12, 1640e9),
+}
+
+
+def _calibration():
+    if os.path.exists(CALIBRATION_PATH):
+        with open(CALIBRATION_PATH) as f:
+            return json.load(f).get("summary")
+    return None
 
 # Last-known-good on-chip measurement, refreshed by every successful real
 # -hardware run. Fallback when the TPU tunnel is unreachable at bench
@@ -210,6 +244,35 @@ def main():
         "anchor_note": "vs_baseline anchor ~24 clouds/s is a V100 FLOP "
                        "model with ~2x error bars (bench.py docstring)",
     }
+    cal = _calibration()
+    if cal:
+        anchor = cal["v100_anchor_clouds_per_sec"]
+        line["calibrated_anchor"] = anchor
+        line["vs_baseline_calibrated"] = round(fast_cps / anchor, 2)
+        line["vs_baseline_calibrated_f32"] = round(f32_cps / anchor, 2)
+        line["anchor_note"] = (
+            f"calibrated_anchor {anchor} clouds/s: torch reference "
+            "measured on this host's CPU (ANCHOR_CALIBRATION.json), its "
+            "FLOP efficiency scaled to V100 f32 peak — an optimistic "
+            "estimate of the reference, so vs_baseline_calibrated is "
+            "conservative. vs_baseline keeps the original ~24 clouds/s "
+            "model anchor for round-over-round comparability.")
+        # roofline: MFU + HBM utilisation from exact XLA cost-analysis
+        # FLOP/byte counts per cloud (the loop is bandwidth-bound by
+        # design — repulsion kNN + plane interpolation dominate bytes)
+        kind = jax.devices()[0].device_kind
+        peaks = TPU_PEAKS.get(kind)
+        if peaks and jax.default_backend() == "tpu":
+            mode = "f32" if args.f32 else "bf16_r16"
+            fl = cal.get(f"our_flops_per_cloud_{mode}")
+            with open(CALIBRATION_PATH) as f:
+                xc = json.load(f).get("xla_cost", {})
+            by = xc.get(f"bytes_per_cloud_{mode}")
+            if fl:
+                line["mfu"] = round(fast_cps * fl / peaks[0], 5)
+            if by:
+                line["hbm_util"] = round(fast_cps * by / peaks[1], 4)
+            line["device_kind"] = kind
     bench_config = {"batch_size": args.batch_size,
                     "num_batches": args.num_batches,
                     "f32": args.f32,
