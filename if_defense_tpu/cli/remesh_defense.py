@@ -89,6 +89,13 @@ def parse_args(argv=None):
                         "surface geometry); mesh = build the indexed "
                         "mesh then area-sample it (reference shape: "
                         "`ONet/remesh_defense.py:151-171`)")
+    p.add_argument("--save_mesh", default=None, metavar="DIR",
+                   help="also export every reconstructed surface as a "
+                        "mesh file under DIR (one per cloud, grouped by "
+                        "input file/split) — the reference's exporter "
+                        "capability (libmcubes/exporter.py)")
+    p.add_argument("--mesh_format", default="off",
+                   choices=["off", "obj", "ply"])
     p.add_argument("--host_workers", type=int, default=0,
                    help="threads for the per-cloud host marching+"
                         "sampling loop (direct mode; the native kernel "
@@ -112,14 +119,41 @@ def build_model(args):
 
 def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
                  mesh=None, dense_fn=None, decode_fn=None,
-                 encode_fn=None, sparse_fn=None):
+                 encode_fn=None, sparse_fn=None, mesh_tag="", mesh_base=0,
+                 mesh_valid=None):
     """Defend one [B, K, 3] batch; returns [B, sample_npoint, 3].
 
     With a mesh, the batch is sharded on dp so the encoder pass and the
     (dominant) batched occupancy evaluations run SPMD over all devices;
     only the per-cloud isosurface + sampling stay host-side.
+    `mesh_tag`/`mesh_base` name --save_mesh exports (per-file subdir,
+    global cloud index).
     """
     B = batch_pc.shape[0]
+    if mesh_valid is None:
+        mesh_valid = B
+
+    if args.save_mesh:
+        from if_defense_tpu.implicit.generation import mesh_from_value_grid
+        from if_defense_tpu.utils.meshio import export_mesh
+
+        mesh_dir = os.path.join(args.save_mesh, mesh_tag)
+        os.makedirs(mesh_dir, exist_ok=True)
+
+        def save_mesh(b, vol=None, iso=None, verts=None, tris=None):
+            if b >= mesh_valid:                # batch-padding duplicate
+                return
+            if vol is not None:
+                verts, tris = mesh_from_value_grid(
+                    vol, iso, 1.0 + DEFAULT_PADDING)
+            if len(verts) == 0:                # degenerate surface: the
+                return                         # npz falls back, no mesh
+            export_mesh(os.path.join(
+                mesh_dir, f"cloud_{mesh_base + b:05d}.{args.mesh_format}"),
+                verts, tris)
+    else:
+        def save_mesh(b, **kw):
+            pass
     if mesh is not None:
         pc = shard_batch(np.asarray(batch_pc, np.float32), mesh)
     else:
@@ -186,6 +220,7 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
                                     **{**gen_kwargs, "wire": "int8"},
                                 )[0])
                         vol = dense_cache[0][b]
+                    save_mesh(b, vol=vol, iso=meta["iso"])
                     return sample_value_grid(
                         vol, meta["iso"], box, args.sample_npoint,
                         seed=seeds[b])
@@ -196,14 +231,19 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
             base = int(rng.integers(2**62))
             seeds = [base + b for b in range(B)]
             for b in range(B):
-                yield (lambda vb=values[b], s=seeds[b]: sample_value_grid(
-                    vb, iso, box, args.sample_npoint, seed=s))
+                def one(b=b, vb=values[b], s=seeds[b]):
+                    save_mesh(b, vol=vb, iso=iso)
+                    return sample_value_grid(
+                        vb, iso, box, args.sample_npoint, seed=s)
+                yield one
         else:
             meshes = generate_meshes(decode_fn, variables, c,
                                      **gen_kwargs)
-            for verts, tris in meshes:
-                yield (lambda v=verts, t=tris: sample_surface(
-                    v, t, args.sample_npoint, rng))
+            for b, (verts, tris) in enumerate(meshes):
+                def one(b=b, v=verts, t=tris):
+                    save_mesh(b, verts=v, tris=t)
+                    return sample_surface(v, t, args.sample_npoint, rng)
+                yield one
 
     proc_np = np.asarray(proc)
     mask_np = np.asarray(mask) > 0.5
@@ -247,7 +287,7 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
 
 def defend_clouds(model, variables, input_n, pc, args, mesh=None,
                   dense_fn=None, decode_fn=None, encode_fn=None,
-                  sparse_fn=None):
+                  sparse_fn=None, mesh_tag=""):
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
     outs, failures = [], 0
@@ -260,7 +300,8 @@ def defend_clouds(model, variables, input_n, pc, args, mesh=None,
         key, sub = jax.random.split(key)
         out, failed = remesh_batch(
             model, variables, input_n, batch, args, rng, sub, mesh,
-            dense_fn, decode_fn, encode_fn, sparse_fn)
+            dense_fn, decode_fn, encode_fn, sparse_fn,
+            mesh_tag=mesh_tag, mesh_base=i, mesh_valid=B - pad)
         if pad:
             out, failed = out[: B - pad], failed[: B - pad]
         outs.append(out)
@@ -362,14 +403,17 @@ def main(argv=None):
         out = {"test_label": d.test_label}
         if d.target_label is not None:
             out["target_label"] = d.target_label
+        stem = os.path.splitext(os.path.basename(path))[0]
         out["test_pc"], fails = defend_clouds(
             model, variables, input_n, d.test_pc[..., :3], args, mesh,
-            dense_fn, decode_fn, encode_fn, sparse_fn)
+            dense_fn, decode_fn, encode_fn, sparse_fn,
+            mesh_tag=os.path.join(stem, "test"))
         n = len(out["test_pc"])
         if args.train:
             out["train_pc"], f2 = defend_clouds(
                 model, variables, input_n, d.train_pc[..., :3], args,
-                mesh, dense_fn, decode_fn, encode_fn, sparse_fn)
+                mesh, dense_fn, decode_fn, encode_fn, sparse_fn,
+                mesh_tag=os.path.join(stem, "train"))
             out["train_label"] = d.train_label
             n += len(out["train_pc"])
             fails += f2

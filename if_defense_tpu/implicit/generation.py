@@ -533,6 +533,30 @@ def sample_value_grid(values_b: np.ndarray, iso: float, box_size: float,
     return ((pts - 1.0) / R - 0.5) * box_size
 
 
+def mesh_from_value_grid(values_b: np.ndarray, iso: float,
+                         box_size: float):
+    """Explicit mesh from ONE cloud's value grid, world coordinates.
+
+    The mesh twin of `sample_value_grid`: same padding and grid->world
+    mapping, but returns (vertices [V, 3] f32, triangles [T, 3] i64)
+    instead of fused surface samples — used by `--save_mesh` export
+    (the reference keeps trimesh objects around for this,
+    `ONet/remesh_defense.py:128-150`).
+    """
+    from if_defense_tpu.native import marching_isosurface
+
+    if values_b.dtype == np.int8:
+        # quantize_wire_int8 places the isovalue at q == 0; the cast to
+        # f32 inside marching_isosurface preserves that
+        pad_val, iso = np.int8(-127), 0.0
+    else:
+        pad_val = -1e6
+    vol = np.pad(values_b, 1, constant_values=pad_val)
+    verts, tris = marching_isosurface(vol, iso)
+    R = values_b.shape[0] - 1
+    return ((verts - 1.0) / R - 0.5) * box_size, tris
+
+
 def generate_meshes(
     decode_fn: Callable,
     variables,

@@ -299,6 +299,42 @@ def test_threaded_host_sampling_matches_serial(chain, tmp_path):
         load_npz(threaded_path).test_pc, serial_pc)
 
 
+def test_remesh_save_mesh_export(chain, tmp_path):
+    """--save_mesh writes one loadable mesh file per (non-degenerate)
+    cloud, in the same world frame the resampled npz is drawn from."""
+    import shutil
+
+    from if_defense_tpu.cli.remesh_defense import main as remesh_main
+    from if_defense_tpu.data import load_npz
+    from if_defense_tpu.utils.meshio import load_off
+
+    src = str(tmp_path / "adv.npz")
+    shutil.copy(chain["adv_path"], src)
+    weights = str(chain["out"] / "convonet_rand.npz")
+    mesh_dir = str(tmp_path / "meshes")
+    out_path, = remesh_main([
+        "--variant", "convonet", "--data_root", src,
+        "--weights", weights, "--batch_size", str(BATCH),
+        "--resolution0", "8", "--upsample", "2",
+        "--input_npoint", "32", "--sample_npoint", "64",
+        "--wire", "int8", "--save_mesh", mesh_dir,
+    ])
+    n_clouds = len(load_npz(out_path).test_pc)
+    export_dir = os.path.join(mesh_dir, "adv", "test")
+    files = sorted(os.listdir(export_dir))
+    assert files, "no meshes exported"
+    assert len(files) <= n_clouds  # degenerate surfaces are skipped
+    for f in files:
+        idx = int(f.removeprefix("cloud_").removesuffix(".off"))
+        assert 0 <= idx < n_clouds  # batch-padding clones not exported
+        v, t = load_off(os.path.join(export_dir, f))
+        assert len(v) and len(t)
+        assert t.min() >= 0 and t.max() < len(v)
+        # inside the padded unit box, + one pad-ring cell (the surface
+        # is closed against the padding layer at the box boundary)
+        assert np.abs(v).max() <= 0.55 + 1.1 / 16 + 1e-6
+
+
 def test_defense_builders_cached_across_invocations(chain):
     """build_defend_fn / build_eval_fns reuse compiled closures across
     main() calls in one process: through the remote-compile tunnel a
