@@ -22,7 +22,7 @@ from if_defense_tpu.models.common import (
     max_pool_points,
     mean_pool_points,
 )
-from if_defense_tpu.ops import index_points, knn_points
+from if_defense_tpu.ops import gather_neighbors, knn_points
 
 
 def get_graph_feature(x: jnp.ndarray, k: int, mask=None) -> jnp.ndarray:
@@ -37,7 +37,7 @@ def get_graph_feature(x: jnp.ndarray, k: int, mask=None) -> jnp.ndarray:
         [B, N, k, 2C]
     """
     idx = knn_points(k, x, candidate_mask=mask)  # [B, N, k] (includes self)
-    neigh = index_points(x, idx)                 # [B, N, k, C]
+    neigh = gather_neighbors(x, idx)             # [B, N, k, C]
     center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
     return jnp.concatenate([neigh - center, center], axis=-1)
 

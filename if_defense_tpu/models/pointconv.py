@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from if_defense_tpu.models.common import DenseBN, PointwiseMLP
 from if_defense_tpu.ops import (
     farthest_point_sample,
+    gather_neighbors,
     index_points,
     knn_points,
     square_distance,
@@ -97,17 +98,17 @@ class PointConvSetAbstraction(nn.Module):
             grouped_density = density_scale[:, None]          # [B, 1, N, 1]
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint, mask=mask)
-            new_xyz = index_points(xyz, fps_idx)
+            new_xyz = gather_neighbors(xyz, fps_idx)
             idx = knn_points(self.nsample, xyz, new_xyz,
                              candidate_mask=mask)             # [B, S, k]
-            grouped_xyz = index_points(xyz, idx)
+            grouped_xyz = gather_neighbors(xyz, idx)
             grouped_norm = grouped_xyz - new_xyz[:, :, None, :]
             feat = grouped_norm
             if points is not None:
                 feat = jnp.concatenate(
-                    [grouped_norm, index_points(points, idx)], -1
+                    [grouped_norm, gather_neighbors(points, idx)], -1
                 )
-            grouped_density = index_points(density_scale, idx)  # [B, S, k, 1]
+            grouped_density = gather_neighbors(density_scale, idx)  # [B, S, k, 1]
 
         feat = PointwiseMLP(list(self.mlp), use_bn=self.use_bn)(feat, train)
         weights = WeightNet(16, use_bn=self.use_bn)(grouped_norm, train)

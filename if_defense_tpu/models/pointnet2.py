@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from if_defense_tpu.models.common import DenseBN, PointwiseMLP
 from if_defense_tpu.ops import (
     farthest_point_sample,
+    gather_neighbors,
     index_points,
     query_ball_point,
 )
@@ -36,11 +37,12 @@ def sample_and_group(npoint, radius, nsample, xyz, points, mask=None):
         new_xyz [B, npoint, 3], grouped [B, npoint, nsample, 3(+D)]
     """
     fps_idx = farthest_point_sample(xyz, npoint, mask=mask)
-    new_xyz = index_points(xyz, fps_idx)
+    new_xyz = gather_neighbors(xyz, fps_idx)
     idx = query_ball_point(radius, nsample, xyz, new_xyz, mask=mask)
-    grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+    grouped_xyz = gather_neighbors(xyz, idx) - new_xyz[:, :, None, :]
     if points is not None:
-        grouped = jnp.concatenate([grouped_xyz, index_points(points, idx)], -1)
+        grouped = jnp.concatenate(
+            [grouped_xyz, gather_neighbors(points, idx)], -1)
     else:
         grouped = grouped_xyz
     return new_xyz, grouped
@@ -92,16 +94,16 @@ class SetAbstractionMsg(nn.Module):
     @nn.compact
     def __call__(self, xyz, points, train: bool = False):
         fps_idx = farthest_point_sample(xyz, self.npoint)
-        new_xyz = index_points(xyz, fps_idx)
+        new_xyz = gather_neighbors(xyz, fps_idx)
         outs = []
         for radius, nsample, mlp in zip(
             self.radius_list, self.nsample_list, self.mlp_list
         ):
             idx = query_ball_point(radius, nsample, xyz, new_xyz)
-            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            grouped_xyz = gather_neighbors(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
                 grouped = jnp.concatenate(
-                    [index_points(points, idx), grouped_xyz], -1)
+                    [gather_neighbors(points, idx), grouped_xyz], -1)
             else:
                 grouped = grouped_xyz
             feat = PointwiseMLP(list(mlp), use_bn=self.use_bn)(grouped, train)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from if_defense_tpu.models.common import DenseBN, PointwiseMLP
 from if_defense_tpu.ops import (
     farthest_point_sample,
+    gather_neighbors,
     index_points,
     query_ball_point,
 )
@@ -54,12 +55,12 @@ class RelationConv(nn.Module):
             )
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint, mask=mask)
-            new_xyz = index_points(xyz, fps_idx)
+            new_xyz = gather_neighbors(xyz, fps_idx)
             idx = query_ball_point(self.radius, self.nsample, xyz, new_xyz,
                                    mask=mask)
-            grouped_xyz = index_points(xyz, idx)
+            grouped_xyz = gather_neighbors(xyz, idx)
             grouped_feats = (
-                index_points(feats, idx) if feats is not None
+                gather_neighbors(feats, idx) if feats is not None
                 else grouped_xyz - new_xyz[:, :, None, :]
             )
 

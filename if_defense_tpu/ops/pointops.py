@@ -124,27 +124,73 @@ def knn_self(k: int, xyz: jax.Array, return_dist: bool = False,
     )
 
 
-def gather_neighbors(points: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather neighbour coordinates via a one-hot MXU contraction.
-
-    TPU-fast alternative to `index_points` for small-channel gathers
-    (coordinate rows are 3-wide — XLA lowers those gathers to slow
-    row-at-a-time loads; the one-hot matmul stays on the MXU). Exact
-    (HIGHEST-precision selection matmul).
-
-    Args:
-        points: [B, N, C]; idx: [B, Q, k].
-    Returns:
-        [B, Q, k, C]
-    """
+def _onehot_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[b, ..., c] = points[b, idx[b, ...], c] via a one-hot matmul."""
     n = points.shape[1]
-    onehot = jax.nn.one_hot(idx, n, dtype=points.dtype)      # [B, Q, k, N]
+    lead = idx.shape[1:]
+    onehot = jax.nn.one_hot(
+        idx.reshape(idx.shape[0], -1), n, dtype=points.dtype)  # [B, M, N]
     # bf16x3 selection matmul: f32-accurate to ~1e-7 relative here (each
     # output picks exactly one input), ~1.5x faster than HIGHEST
-    return jnp.einsum(
-        "bqkn,bnc->bqkc", onehot, points,
+    out = jnp.einsum(
+        "bmn,bnc->bmc", onehot, points,
         precision=jax.lax.Precision.HIGH,
     )
+    return out.reshape(idx.shape[0], *lead, points.shape[-1])
+
+
+# gather_neighbors' VJP is ALWAYS a one-hot einsum: XLA scatter-add on
+# TPU is serialized and catastrophically slow — measured on v5e at the
+# PointNet++ attack shapes (scanned, tunnel-safe sync): 10.6 ms (C=3)
+# and 7.6 ms (C=131) for scatter vs 2.2 / 3.4 ms for the one-hot
+# contraction, which stays on the MXU.
+
+
+def gather_neighbors(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighbour features: out[b, ..., c] = points[b, idx[b,...], c].
+
+    TPU-fast alternative to `index_points` for grouped gathers (XLA lowers
+    small-row gathers to slow row-at-a-time loads; the one-hot matmul
+    stays on the MXU — measured 1.8 ms vs 5.1 ms for [40,512,32,3] on
+    v5e). The backward pass picks scatter-add for narrow channels and a
+    one-hot contraction for wide ones (see _GATHER_SCATTER_BWD_MAX_C).
+    Accurate to ~1e-7 relative (bf16x3 selection matmul).
+
+    Args:
+        points: [B, N, C]; idx: [B, ...] int indices into the N axis.
+    Returns:
+        [B, ..., C]
+    """
+    return _gather_neighbors_vjp(points, idx)
+
+
+@jax.custom_vjp
+def _gather_neighbors_vjp(points, idx):
+    return _onehot_gather(points, idx)
+
+
+def _gather_fwd(points, idx):
+    return _onehot_gather(points, idx), (points.shape, idx)
+
+
+def _gather_bwd(res, ct):
+    import numpy as _np
+
+    shape, idx = res
+    c = shape[-1]
+    n = shape[1]
+    onehot = jax.nn.one_hot(
+        idx.reshape(idx.shape[0], -1), n, dtype=ct.dtype)
+    dp = jnp.einsum(
+        "bmn,bmc->bnc", onehot, ct.reshape(ct.shape[0], -1, c),
+        precision=jax.lax.Precision.HIGH,
+    )
+    # indices are discrete: float0 cotangent
+    d_idx = _np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return (dp, d_idx)
+
+
+_gather_neighbors_vjp.defvjp(_gather_fwd, _gather_bwd)
 
 
 def _fps_body(xyz, i, state):
@@ -229,7 +275,7 @@ def farthest_point_sample(
 
 def query_ball_point(
     radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
-    mask: jax.Array | None = None, method: str = "sort",
+    mask: jax.Array | None = None, method: str = "count",
 ) -> jax.Array:
     """Radius neighbourhood grouping with fixed group size.
 
@@ -243,9 +289,9 @@ def query_ball_point(
     non-decreasing, that position equals ``sum_n [rank[n] <= j]``. One
     cumsum + one broadcast-compare-reduce (XLA fuses the [B, S, N,
     nsample] indicator into the reduction), instead of sorting the full
-    [B, S, N] index tensor ("sort", the default until the count path is
-    measured on-chip — tools/profile_attack.py times both). Both produce
-    identical indices.
+    [B, S, N] index tensor ("sort"). Both produce identical indices;
+    "count" is the default after the on-chip A/B (v5e, scanned: 3.4 ms
+    vs 6.0 ms at [40, 512, 1024] k=32; ~tied at [40, 128, 512] k=64).
 
     Args:
         radius: ball radius.
@@ -260,6 +306,20 @@ def query_ball_point(
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
+    # On TPU at kernel-friendly shapes, the fused Pallas kernel computes
+    # the distance block and the count selection entirely in VMEM — no
+    # [B, S, N] HBM round trip. Identical indices (asserted on-chip and
+    # in tests); v5e scanned A/B: 1.33 ms vs 3.12 ms ("count") at
+    # [40, 512, 1024] k=32. Mask and odd shapes fall back to XLA.
+    if (method == "count" and mask is None
+            and jax.default_backend() == "tpu"
+            and N % 128 == 0 and S % 8 == 0 and nsample <= 128
+            and not os.environ.get("IFDEF_DISABLE_PALLAS_BALLQUERY")):
+        from if_defense_tpu.ops.pallas_ballquery import ballquery_pallas
+
+        tile_s = next(t for t in (128, 64, 32, 16, 8) if S % t == 0)
+        return ballquery_pallas(radius, nsample, xyz, new_xyz,
+                                tile_s=tile_s)
     sqrdists = square_distance(new_xyz, xyz)                 # [B, S, N]
     if mask is not None:
         sqrdists = jnp.where(mask[:, None, :] > 0, sqrdists, jnp.inf)
