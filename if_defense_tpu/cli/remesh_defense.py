@@ -70,12 +70,15 @@ def parse_args(argv=None):
                         "values only feed crossing tests/lerp)")
     p.add_argument("--wire", default="bf16",
                    choices=["bf16", "int8", "sparse"],
-                   help="dense-path device->host value format. int8 "
-                        "halves the transfer (vertex shift <= 1 "
-                        "quantum); sparse transfers only surface-"
-                        "adjacent int8 blocks (~40x less wire, "
-                        "IDENTICAL samples to int8 — needs "
-                        "--sample_mode direct)")
+                   help="device->host value format. int8 quantises the "
+                        "logits (occupancy signs exact, vertex shift "
+                        "<= 1 quantum): 1/4 the dense-path transfer, "
+                        "and on the coarse+refine (ONet / grid-latent) "
+                        "path it quantises the refined-voxel wire — "
+                        "the dominant transfer there. sparse moves only "
+                        "surface-adjacent int8 blocks (~40x less wire, "
+                        "IDENTICAL samples to int8 — ConvONet 3-plane "
+                        "only, needs --sample_mode direct)")
     p.add_argument("--sparse_blocks", type=int, default=None,
                    help="static per-cloud active-block budget for "
                         "--wire sparse (default: adaptive — the gather "

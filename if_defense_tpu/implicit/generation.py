@@ -108,11 +108,14 @@ def _voxel_offsets(u: int) -> np.ndarray:
 # across batches — per-call @jax.jit closures recompiled through the
 # remote-compile tunnel on EVERY refinement call (~20 s/batch, measured;
 # the actual device work is ~0.1 s).
-@functools.partial(jax.jit, static_argnames=("r0", "max_active"))
-def _pick_active(vals, iso, *, r0: int, max_active: int):
-    """Active (sign-mixed, 1-dilated) voxels of the coarse field.
+@functools.partial(jax.jit, static_argnames=("r0",))
+def _active_scores(vals, iso, *, r0: int):
+    """Active (sign-mixed, 1-dilated) voxel scores of the coarse field.
 
-    Returns ([B, max_active] flat voxel ids by score, [B, r0^3] scores).
+    Returns ([B, r0^3] scores — 2 = raw surface voxel, 1 = dilation
+    ring, 0 = inactive — and [B] int32 active counts). Only the counts
+    need cross the wire (for the adaptive top-k bucket); the scores stay
+    device-resident for `_topk_active`.
     """
     B = vals.shape[0]
     occ = vals > iso                                   # [B, r0+1]^3
@@ -146,9 +149,17 @@ def _pick_active(vals, iso, *, r0: int, max_active: int):
     )[..., 0]
     score = ring + a[..., 0]                           # 2 = raw, 1 = ring
     flat = score.reshape(B, -1)
-    # static top-K active voxels (score-padded with inactive)
-    _, idx = jax.lax.top_k(flat, max_active)           # [B, K]
-    return idx, flat
+    counts = jnp.sum(flat > 0.5, axis=-1).astype(jnp.int32)
+    return flat, counts
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_active(flat, k: int):
+    """Top-k active voxels by score: ([B, k] int32 flat voxel ids,
+    [B, k] bool genuinely-active mask). k is a power-of-two bucket so the
+    jit cache stays small across batches with varying surface area."""
+    top, idx = jax.lax.top_k(flat, k)                  # [B, k]
+    return idx.astype(jnp.int32), top > 0.5
 
 
 @functools.partial(jax.jit, static_argnames=("r0", "u"))
@@ -379,6 +390,7 @@ def active_voxel_refinement(
     timings: dict | None = None,
     lattice_eval_fn=None,
     query_dtype: str | None = None,
+    wire: str = "bf16",
 ):
     """Refine the occupancy field near the surface.
 
@@ -388,45 +400,72 @@ def active_voxel_refinement(
             uses 2 steps of x2 -> 4).
         timings: optional dict that receives per-phase wall seconds
             (eval / transfer / assemble) for profiling.
+        wire: refined-value device->host format — "bf16" (default) or
+            "int8" (`quantize_wire_int8`: occupancy signs exact,
+            crossing-vertex positions shift <= one quantum; the coarse
+            grid crosses quantised too). int8 matters on a slow host
+            link: the refined values are the dominant transfer of the
+            non-dense (ONet / grid-latent) mesh path.
     Returns:
         fine_vals [B, Rf+1, Rf+1, Rf+1] numpy (nearest-upsampled coarse
         values with refined values scattered in near the surface).
+
+    The voxel budget is ADAPTIVE: only the [B] active counts cross the
+    wire up front, then eval + transfer run at K = the next power of two
+    >= the batch's max count (capped at max_active — a tight cap drops
+    dilation-ring voxels first, as before). Eval work and wire bytes
+    scale with the batch's actual surface area instead of the static
+    budget; one cached jit specialisation per bucket.
     """
     import time as _time
     B = coarse_logits.shape[0]
     R0, U = resolution0, upsample
     Rf = R0 * U
-    max_active = min(max_active, R0**3)
+    cap = min(max_active, R0**3)
     offs = _voxel_offsets(U)                       # [(U+1)^3, 3]
 
-    idx_dev, flat = _pick_active(
-        coarse_logits, jnp.float32(iso), r0=R0, max_active=max_active)
+    flat, counts = _active_scores(coarse_logits, jnp.float32(iso), r0=R0)
+    need = int(jnp.max(counts))                    # tiny fetch + barrier
+    K = cap if need >= cap else \
+        min(cap, max(256, 1 << max(need - 1, 0).bit_length()))
+    idx_dev, act_dev = _topk_active(flat, K)
 
     t0 = _time.perf_counter()
-    # bf16 on the wire: the refined values only feed the isosurface
-    # crossing test — halves the (large) device->host transfer. The cast
-    # to f32 must happen HOST-side (casting back on device would put f32
-    # on the wire again).
+    # compact wire: the refined values only feed the isosurface
+    # crossing test — bf16 halves the (large) device->host transfer,
+    # int8 quarters it. The widening back to f32 must happen HOST-side
+    # (casting back on device would put f32 on the wire again).
     if lattice_eval_fn is not None:
         vals_dev = lattice_eval_fn(
-            variables, c, _fine_indices(idx_dev, r0=R0, u=U)
-        ).astype(jnp.bfloat16)
+            variables, c, _fine_indices(idx_dev, r0=R0, u=U))
     else:
         fine_pts = _fine_points(
             idx_dev, r0=R0, u=U, box_size=float(box_size))
         vals_dev = eval_points_batched(
             decode_fn, variables, c, fine_pts, chunk, query_dtype
-        ).astype(jnp.bfloat16)                         # [B, K*O]
+        )                                              # [B, K*O]
+    if wire == "int8":
+        vals_dev = quantize_wire_int8(
+            vals_dev.astype(jnp.float32), iso)
+        coarse_dev = quantize_wire_int8(
+            coarse_logits.astype(jnp.float32), iso)
+    else:
+        vals_dev = vals_dev.astype(jnp.bfloat16)
+        coarse_dev = coarse_logits
     if timings is not None:
         # scalar fetch: a real device barrier (block_until_ready returns
         # early through the axon tunnel)
         float(jnp.ravel(vals_dev)[0])
     t1 = _time.perf_counter()
-    fine_vals_at = np.asarray(vals_dev).astype(np.float32)
-    t2 = _time.perf_counter()
-
+    if wire == "int8":
+        fine_vals_at = dequantize_wire_int8(vals_dev, iso)
+        coarse = dequantize_wire_int8(coarse_dev, iso)
+    else:
+        fine_vals_at = np.asarray(vals_dev).astype(np.float32)
+        coarse = np.asarray(coarse_dev, np.float32)    # [B, R0+1]^3
     idx = np.asarray(idx_dev).astype(np.int64)         # [B, K]
-    active_mask = np.asarray(flat) > 0.5
+    act = np.asarray(act_dev)                          # [B, K]
+    t2 = _time.perf_counter()
 
     # assemble per cloud in the native kernel: nearest-upsampled coarse
     # values + refined values scattered by (voxel id, offset) — all fine-
@@ -434,11 +473,9 @@ def active_voxel_refinement(
     # dominated host time before; the [B, K, O] int64 index tensor after)
     from if_defense_tpu.native import assemble_fine_grid_vox
 
-    coarse = np.asarray(coarse_logits)                 # [B, R0+1]^3
     Rp = Rf + 1
     O = len(offs)
     vals = fine_vals_at.reshape(B, -1, O)              # [B, K, O]
-    act = np.take_along_axis(active_mask, idx, axis=1)  # [B, K]
     fine = np.empty((B, Rp, Rp, Rp), np.float32)
     for b in range(B):
         a = act[b]
@@ -448,6 +485,9 @@ def active_voxel_refinement(
         timings["eval_s"] = t1 - t0
         timings["transfer_s"] = t2 - t1
         timings["assemble_s"] = _time.perf_counter() - t2
+        timings["refine_k"] = K
+        timings["wire_bytes"] = int(
+            vals.size * (1 if wire == "int8" else 2) + idx.size * 4)
     return fine
 
 
@@ -510,6 +550,7 @@ def compute_value_grids(
                 decode_fn, variables, c, coarse, resolution0, upsample,
                 box_size, iso, max_active, chunk,
                 lattice_eval_fn=lattice_eval_fn, query_dtype=qdt,
+                wire=wire,
             )
         else:
             values = np.asarray(coarse)

@@ -365,3 +365,44 @@ def test_defense_builders_cached_across_invocations(chain):
     model, _, _ = rd.build_model(rargs)
     assert rd.build_eval_fns(rargs, model) is rd.build_eval_fns(
         rargs, model)
+
+
+def test_onet_remesh_int8_refine_wire(chain, tmp_path):
+    """ONet variant (coarse+refine path) accepts --wire int8: the
+    refined-voxel wire is quantised on device (grid-sign contract proven
+    in tests/test_generation.py) and the CLI output stays a valid
+    defended npz close to the bf16-wire output."""
+    import shutil
+
+    import jax
+
+    from if_defense_tpu.cli.remesh_defense import main as remesh_main
+    from if_defense_tpu.data import load_npz
+    from if_defense_tpu.implicit import OccupancyNetwork
+    from if_defense_tpu.utils.params_io import save_params_npz
+
+    src = str(tmp_path / "adv.npz")
+    shutil.copy(chain["adv_path"], src)
+    onet = OccupancyNetwork()
+    zeros = np.zeros((1, 32, 3), np.float32)
+    weights = str(tmp_path / "onet_rand.npz")
+    save_params_npz(
+        weights,
+        onet.init(jax.random.key(0), zeros, np.zeros((1, 8, 3),
+                                                     np.float32)))
+    common = [
+        "--variant", "onet", "--data_root", src,
+        "--weights", weights, "--batch_size", str(BATCH),
+        "--resolution0", "8", "--upsample", "2",
+        "--input_npoint", "32", "--sample_npoint", "64",
+    ]
+    bf16_path, = remesh_main([*common, "--wire", "bf16"])
+    bf16_pc = load_npz(bf16_path).test_pc.copy()
+    int8_path, = remesh_main([*common, "--wire", "int8"])
+    int8_pc = load_npz(int8_path).test_pc
+    assert int8_pc.shape == bf16_pc.shape
+    assert np.isfinite(int8_pc).all()
+    # same marching topology (signs exact), vertex shift <= one quantum:
+    # per-cloud centroids stay close even though individual samples move
+    np.testing.assert_allclose(
+        int8_pc.mean(axis=1), bf16_pc.mean(axis=1), atol=0.15)

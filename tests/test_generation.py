@@ -433,3 +433,91 @@ def test_dense_eval_gate_requires_all_three_planes():
         ConvOccupancyNetwork(plane_type=("grid",)), 8, 1.1) is None
     assert make_convonet_dense_eval(
         ConvOccupancyNetwork(), 8, 1.1) is not None
+
+
+def test_refine_int8_wire_signs_and_quantum():
+    """int8 refinement wire (ONet / grid-latent path): occupancy signs
+    match the default wire exactly at every fine-grid point and values
+    shift by <= one quantum (1/16) — the same contract the dense int8
+    wire proves in test_generate_meshes_wire_int8."""
+    from if_defense_tpu.implicit.generation import compute_value_grids
+
+    c = jnp.array([0.27, 0.33])
+    kw = dict(threshold=0.5, resolution0=12, upsample=4,
+              max_active=4096, chunk=4096)
+    v_ref, iso = compute_value_grids(sphere_decode, None, c,
+                                     wire="bf16", **kw)
+    v_q, iso_q = compute_value_grids(sphere_decode, None, c,
+                                     wire="int8", **kw)
+    assert iso == iso_q
+    assert v_q.dtype == np.float32 and v_q.shape == v_ref.shape
+    np.testing.assert_array_equal(v_q > iso, v_ref > iso)
+    # one quantum + bf16 slack inside the quantiser's range; outside it
+    # the int8 wire saturates at iso +- 127/16 (signs still exact above,
+    # and saturated values only ever feed the sign test)
+    unclipped = np.abs(v_ref - iso) < 127.0 / 16 - 1.0 / 16
+    assert np.abs(v_q - v_ref)[unclipped].max() <= 1.0 / 16 + 1e-2
+
+
+def test_refine_adaptive_bucket_matches_full_budget():
+    """The adaptive power-of-two voxel bucket is output-invariant: any
+    budget >= the true active count assembles the identical fine grid
+    (padding slots were always masked out)."""
+    from if_defense_tpu.implicit.generation import (
+        active_voxel_refinement, eval_points_batched, logit_threshold,
+        make_grid,
+    )
+
+    c = jnp.array([0.3])
+    R0, U, box = 10, 2, 1.1
+    iso = logit_threshold(0.5)
+    grid = make_grid(R0, box)
+    pts = jnp.broadcast_to(jnp.asarray(grid.reshape(1, -1, 3)),
+                           (1, (R0 + 1) ** 3, 3))
+    coarse = eval_points_batched(sphere_decode, None, c, pts, 512)
+    coarse = coarse.reshape(1, R0 + 1, R0 + 1, R0 + 1)
+
+    tm_small, tm_big = {}, {}
+    fine_small = active_voxel_refinement(
+        sphere_decode, None, c, coarse, R0, U, box, iso,
+        max_active=R0 ** 3, chunk=512, timings=tm_small)
+    fine_big = active_voxel_refinement(
+        sphere_decode, None, c, coarse, R0, U, box, iso,
+        max_active=R0 ** 3, chunk=4096, timings=tm_big)
+    np.testing.assert_array_equal(fine_small, fine_big)
+    # the bucket followed the actual surface size, not the budget
+    assert tm_small["refine_k"] == tm_big["refine_k"] <= 512
+    assert tm_small["refine_k"] < R0 ** 3
+
+    # a tight cap still clips (legacy static-budget semantics)
+    tm_cap = {}
+    active_voxel_refinement(
+        sphere_decode, None, c, coarse, R0, U, box, iso,
+        max_active=64, chunk=512, timings=tm_cap)
+    assert tm_cap["refine_k"] == 64
+
+
+def test_refine_int8_wire_is_smaller():
+    from if_defense_tpu.implicit.generation import (
+        active_voxel_refinement, eval_points_batched, logit_threshold,
+        make_grid,
+    )
+
+    c = jnp.array([0.3])
+    R0, U, box = 10, 2, 1.1
+    iso = logit_threshold(0.5)
+    grid = make_grid(R0, box)
+    pts = jnp.broadcast_to(jnp.asarray(grid.reshape(1, -1, 3)),
+                           (1, (R0 + 1) ** 3, 3))
+    coarse = eval_points_batched(sphere_decode, None, c, pts, 512)
+    coarse = coarse.reshape(1, R0 + 1, R0 + 1, R0 + 1)
+
+    tm8, tm16 = {}, {}
+    f8 = active_voxel_refinement(
+        sphere_decode, None, c, coarse, R0, U, box, iso,
+        max_active=512, chunk=512, timings=tm8, wire="int8")
+    f16 = active_voxel_refinement(
+        sphere_decode, None, c, coarse, R0, U, box, iso,
+        max_active=512, chunk=512, timings=tm16, wire="bf16")
+    assert tm8["wire_bytes"] < tm16["wire_bytes"]
+    np.testing.assert_array_equal(f8 > iso, f16 > iso)

@@ -241,9 +241,13 @@ def run_seed(args, seed: int) -> dict:
                     "--batch_size", str(args.batch_size),
                     "--seed", str(seed),
                     # sparse wire: bit-identical to int8, ~40x less
-                    # transfer (plane-latent ConvONet only)
+                    # transfer (plane-latent ConvONet only). ONet takes
+                    # the coarse+refine path: bf16 compute + int8
+                    # refined-voxel wire (signs exact, vertex shift <=
+                    # one quantum — tests/test_generation.py)
                     *(["--wire", "sparse"] if variant == "convonet"
-                      else ["--compute_dtype", "bfloat16"]),
+                      else ["--compute_dtype", "bfloat16",
+                            "--wire", "int8"]),
                     *(["--resolution0", "16", "--upsample", "2"]
                       if args.fast else []),
                 ])

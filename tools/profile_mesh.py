@@ -197,12 +197,14 @@ if __name__ == "__main__":
         fine = G.active_voxel_refinement(
             decode_fn, variables, c, coarse, R0, U, box_size, iso,
             args.max_active, args.chunk, timings=tm,
-            lattice_eval_fn=lattice_fn)
+            lattice_eval_fn=lattice_fn,
+            wire=args.wire if args.wire in ("bf16", "int8") else "bf16")
         t_refine = time.perf_counter() - t0
         print(f"refinement total:  {t_refine:7.2f} s "
               f"(eval {tm.get('eval_s', 0):.2f} / transfer "
               f"{tm.get('transfer_s', 0):.2f} / assemble "
-              f"{tm.get('assemble_s', 0):.2f}; fine grid "
+              f"{tm.get('assemble_s', 0):.2f}; K={tm.get('refine_k')} "
+              f"wire {tm.get('wire_bytes', 0)/1e6:.1f} MB; fine grid "
               f"{fine.nbytes/1e6:.0f} MB)")
 
     # marching
