@@ -113,3 +113,31 @@ def restore_params(path: str, template) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, template)
+
+
+def save_eval_checkpoint(path: str, variables: dict,
+                         metadata: dict | None = None) -> str:
+    """Save eval-only model variables as a CLI-loadable checkpoint.
+
+    Writes the same layout `save_checkpoint` produces for a TrainState
+    (params / batch_stats / step, no optimizer state) so
+    `restore_checkpoint_raw` → `load_eval_model` accept it. This is the
+    landing format for weights converted from reference `.pth` files
+    (`convert/victim_weights.py`) — the equivalent of dropping a
+    BEST_WEIGHTS entry into `baselines/config.py:4-41`.
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats"),
+        "step": 0,
+    }
+    if payload["batch_stats"] is None:
+        del payload["batch_stats"]
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if metadata:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(metadata, f, default=float)
+    return path

@@ -78,6 +78,24 @@ def parse_args(argv=None):
     p.add_argument("--num_drop", type=int, default=200)
     p.add_argument("--fast", action="store_true",
                    help="tiny sizes for smoke iteration")
+    p.add_argument("--data_npz", default=None,
+                   help="use this classification npz (test_pc/test_label"
+                        "/target_label, e.g. real ModelNet40) instead of "
+                        "generating the synthetic family")
+    p.add_argument("--occ_npz", default=None,
+                   help="occupancy-training npz to pair with --data_npz; "
+                        "only needed when an implicit net must be "
+                        "trained (i.e. not provided via "
+                        "--implicit_weights)")
+    p.add_argument("--victim_ckpts", nargs="*", default=[],
+                   metavar="NAME=PATH",
+                   help="pre-trained victim checkpoints (e.g. converted "
+                        "reference .pth, tools/reproduce_baseline.py); "
+                        "named victims skip training")
+    p.add_argument("--implicit_weights", nargs="*", default=[],
+                   metavar="VARIANT=NPZ",
+                   help="pre-trained onet/convonet params npz; named "
+                        "variants skip implicit training")
     p.add_argument("--resume", action="store_true",
                    help="reuse seed<k>/results.json where it exists")
     p.add_argument("--reuse_artifacts", action="store_true",
@@ -142,20 +160,37 @@ def run_seed(args, seed: int) -> dict:
         knn_iter, cw_steps = args.knn_iter, tuple(args.cw_steps)
         num_drop = args.num_drop
 
-    cls_npz, occ_npz = make_data([
-        "--out_dir", sd, "--family", args.family,
-        "--train_per_class", str(tpc), "--test_per_class", str(tec),
-        "--occ_per_class", str(opc), "--num_points", str(args.num_points),
-        "--seed", str(seed),
-    ])
+    provided_ckpts = dict(kv.split("=", 1) for kv in args.victim_ckpts)
+    provided_iw = dict(kv.split("=", 1) for kv in args.implicit_weights)
+
+    if args.data_npz:
+        cls_npz, occ_npz = args.data_npz, args.occ_npz
+    else:
+        cls_npz, occ_npz = make_data([
+            "--out_dir", sd, "--family", args.family,
+            "--train_per_class", str(tpc), "--test_per_class", str(tec),
+            "--occ_per_class", str(opc),
+            "--num_points", str(args.num_points),
+            "--seed", str(seed),
+        ])
 
     # implicit nets (shared across victims)
-    implicit_weights = {}
+    implicit_weights = dict(provided_iw)
     need_conv = any(d.startswith("convonet") for d in args.defenses)
     need_onet = any(d.startswith("onet") for d in args.defenses)
     for variant, needed in (("convonet", need_conv), ("onet", need_onet)):
         if not needed:
             continue
+        if variant in provided_iw:
+            print(f"[seed {seed}] provided implicit weights "
+                  f"{provided_iw[variant]}", flush=True)
+            continue
+        if occ_npz is None:
+            raise SystemExit(
+                f"--data_npz given without --occ_npz, but defense set "
+                f"needs a trained {variant}; pass --implicit_weights "
+                f"{variant}=<npz> (converted from the reference .pth) "
+                f"or an --occ_npz to train from")
         w_out = os.path.join(sd, f"{variant}_w")
         if args.reuse_artifacts and os.path.exists(w_out + ".npz"):
             print(f"[seed {seed}] reuse implicit weights {w_out}.npz",
@@ -258,9 +293,19 @@ def run_seed(args, seed: int) -> dict:
 
     for victim in args.victims:
         vdir = os.path.join(sd, victim)
+        os.makedirs(vdir, exist_ok=True)
         t0 = time.time()
         meta_p = os.path.join(vdir, "best.meta.json")
-        if args.reuse_artifacts and os.path.exists(meta_p):
+        if victim in provided_ckpts:
+            ckpt = os.path.abspath(provided_ckpts[victim])
+            r = inf_main([
+                "--data", cls_npz, "--checkpoint", ckpt,
+                "--num_points", str(args.num_points),
+                "--batch_size", str(args.batch_size)])
+            clean_best = r["accuracy"]
+            print(f"[seed {seed}] provided victim checkpoint {ckpt} "
+                  f"(clean acc {clean_best:.3f})", flush=True)
+        elif args.reuse_artifacts and os.path.exists(meta_p):
             with open(meta_p) as f:
                 clean_best = float(json.load(f)["acc"])
             print(f"[seed {seed}] reuse victim checkpoint {vdir}/best "
@@ -276,7 +321,8 @@ def run_seed(args, seed: int) -> dict:
                 # keep the checked-in weights/registry.json untouched
                 "--registry", os.path.join(sd, "registry.json"),
             ])
-        ckpt = os.path.join(vdir, "best")
+        if victim not in provided_ckpts:
+            ckpt = os.path.join(vdir, "best")
         vres = {"clean_accuracy": clean_best,
                 "train_seconds": time.time() - t0, "attacks": {}}
 

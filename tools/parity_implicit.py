@@ -62,7 +62,19 @@ def install_import_stubs(*names):
             sys.modules[name] = _AnyAttr(name)
 
 
-def check_convonet():
+
+def _load_split_sd(enc_t, dec_t, sd):
+    """Load a real reference checkpoint state dict (encoder./decoder.
+    prefixed, as saved by im2mesh CheckpointIO under the 'model' key)
+    into the torch encoder/decoder pair."""
+    enc_t.load_state_dict({k[len("encoder."):]: v for k, v in sd.items()
+                           if k.startswith("encoder.")})
+    dec_t.load_state_dict({k[len("decoder."):]: v for k, v in sd.items()
+                           if k.startswith("decoder.")})
+    enc_t.eval(), dec_t.eval()
+
+
+def check_convonet(sd=None):
     import torch
 
     install_torch_scatter_shim()
@@ -86,6 +98,8 @@ def check_convonet():
     dec_t = TorchDec(dim=3, c_dim=32, hidden_size=32, sample_mode="bilinear",
                      padding=0.1)
     enc_t.eval(), dec_t.eval()
+    if sd is not None:
+        _load_split_sd(enc_t, dec_t, sd)
 
     rng = np.random.default_rng(0)
     pc = rng.uniform(-0.45, 0.45, size=(2, 200, 3)).astype(np.float32)
@@ -129,7 +143,7 @@ def check_convonet():
     return d
 
 
-def check_onet():
+def check_onet(sd=None):
     import torch
 
     # drop the im2mesh stubs installed for the ConvONet check so the real
@@ -149,12 +163,15 @@ def check_onet():
     enc_t = TorchEnc(c_dim=512, dim=3, hidden_dim=512)
     dec_t = TorchDec(dim=3, z_dim=0, c_dim=512, hidden_size=256)
     enc_t.eval(), dec_t.eval()
-    # randomise BN running stats so the test isn't trivially mean0/var1
-    with torch.no_grad():
-        for m in dec_t.modules():
-            if isinstance(m, torch.nn.BatchNorm1d):
-                m.running_mean.uniform_(-0.3, 0.3)
-                m.running_var.uniform_(0.5, 1.5)
+    if sd is not None:
+        _load_split_sd(enc_t, dec_t, sd)
+    else:
+        # randomise BN running stats so the test isn't trivially mean0/var1
+        with torch.no_grad():
+            for m in dec_t.modules():
+                if isinstance(m, torch.nn.BatchNorm1d):
+                    m.running_mean.uniform_(-0.3, 0.3)
+                    m.running_var.uniform_(0.5, 1.5)
 
     rng = np.random.default_rng(1)
     pc = rng.uniform(-0.45, 0.45, size=(2, 150, 3)).astype(np.float32)

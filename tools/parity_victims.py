@@ -27,14 +27,27 @@ def _randomise_bn(module):
                 m.running_var.uniform_(0.5, 1.5)
 
 
-def check_pointnet():
+def _init_weights(net, sd):
+    """Random BN stats (structural parity) or a provided real state
+    dict (reference checkpoints may carry DataParallel 'module.'
+    prefixes — stripped, matching convert/victim_weights.py)."""
+    net.eval()
+    if sd is None:
+        _randomise_bn(net)
+    else:
+        net.load_state_dict(
+            {k[7:] if k.startswith("module.") else k: v
+             for k, v in sd.items()})
+        net.eval()
+
+
+def check_pointnet(sd=None):
     import torch
     from model.pointnet import PointNetCls
 
     torch.manual_seed(0)
     net = PointNetCls(k=40, feature_transform=False, use_bn=True)
-    net.eval()
-    _randomise_bn(net)
+    _init_weights(net, sd)
 
     rng = np.random.default_rng(0)
     pc = rng.normal(size=(4, 128, 3)).astype(np.float32)
@@ -59,7 +72,7 @@ def check_pointnet():
     return d
 
 
-def check_dgcnn():
+def check_dgcnn(sd=None):
     import torch
 
     # the reference hardcodes cuda for the gather index helper — patch
@@ -73,8 +86,7 @@ def check_dgcnn():
 
     torch.manual_seed(0)
     net = TorchDGCNN(emb_dims=1024, k=20, output_channels=40, use_bn=True)
-    net.eval()
-    _randomise_bn(net)
+    _init_weights(net, sd)
 
     rng = np.random.default_rng(1)
     pc = rng.normal(size=(2, 64, 3)).astype(np.float32)
@@ -102,7 +114,7 @@ def check_dgcnn():
 
 
 
-def check_pointnet2():
+def check_pointnet2(sd=None):
     import torch
 
     orig_randint = torch.randint
@@ -115,8 +127,7 @@ def check_pointnet2():
 
     torch.manual_seed(0)
     net = TorchPN2(num_classes=40)
-    net.eval()
-    _randomise_bn(net)
+    _init_weights(net, sd)
 
     rng = np.random.default_rng(2)
     pc = rng.normal(size=(2, 256, 3)).astype(np.float32)
@@ -142,7 +153,7 @@ def check_pointnet2():
     return d
 
 
-def check_pointconv():
+def check_pointconv(sd=None):
     import torch
 
     orig_randint = torch.randint
@@ -155,8 +166,7 @@ def check_pointconv():
 
     torch.manual_seed(0)
     net = TorchPC(num_classes=40)
-    net.eval()
-    _randomise_bn(net)
+    _init_weights(net, sd)
 
     rng = np.random.default_rng(3)
     pc = rng.normal(size=(2, 256, 3)).astype(np.float32)
