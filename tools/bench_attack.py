@@ -3,16 +3,25 @@
 The reference's attack story is its DDP pain point (7 scripts sharded
 over GPUs, per-rank npz merging — `targeted_perturb_attack.py:99-174`);
 here each attack is one jitted scan on device. This records clouds/sec
-per attack at reference hyperparameters against a random-init PointNet
-(throughput is weight-independent).
+per attack at reference hyperparameters against a random-init victim
+(throughput is weight-independent). `--victim pointnet2` measures the
+FPS/ball-query-heavy forward the reference threw 4 GPUs at
+(`targeted_perturb_attack.py:99-130`); CW device calls are host-chunked
+on TPU exactly like the attack CLI (bit-identical results,
+`attack/cw.py` chunk contract).
 
-Usage: python tools/bench_attack.py [--batch 64] [--out BENCH_ATTACK.json]
+Usage:
+    python tools/bench_attack.py [--victim pointnet2] [--batch 64]
+        [--attacks cw_perturb cw_perturb_mixed] [--out BENCH_ATTACK.json]
+
+--out merges per-victim: existing entries for other victims are kept.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -21,6 +30,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ATTACKS = ["cw_perturb", "cw_perturb_mixed", "ifgm", "pgd", "drop"]
+
 
 def sync(x):
     import jax.numpy as jnp
@@ -28,12 +39,16 @@ def sync(x):
     return float(jnp.ravel(x)[0])
 
 
-if __name__ == "__main__":
+def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--victim", default="pointnet")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--num_points", type=int, default=1024)
+    p.add_argument("--attacks", nargs="+", default=ATTACKS,
+                   choices=ATTACKS)
+    p.add_argument("--reps", type=int, default=2)
     p.add_argument("--out", default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -45,7 +60,7 @@ if __name__ == "__main__":
     from if_defense_tpu.training import create_train_state, eval_variables
 
     B, N = args.batch, args.num_points
-    model = build_model("pointnet", num_classes=40)
+    model = build_model(args.victim, num_classes=40)
     rng = np.random.default_rng(0)
     pc = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
     pc = pc / jnp.linalg.norm(pc, axis=-1, keepdims=True)
@@ -55,6 +70,11 @@ if __name__ == "__main__":
     label = jnp.asarray(rng.integers(0, 40, B))
     key = jax.random.key(1)
 
+    # same chunk policy as cli/attack.py: bound every CW device call on
+    # TPU (the fused 5000-iter scan-of-scans on a heavyweight victim
+    # exceeds the runtime's single-execution limit); fused elsewhere
+    chunk = 100 if jax.default_backend() == "tpu" else None
+
     def logits_fn(x):
         return model.apply(variables, x, train=False)[0]
 
@@ -63,53 +83,71 @@ if __name__ == "__main__":
 
     results = {}
 
-    def run(name, fn, reps=2):
+    def run(name, fn, reps=None):
         out = fn()                                   # compile + warmup
         sync(jax.tree_util.tree_leaves(out)[0])
         ts = []
-        for _ in range(reps):
+        for _ in range(reps or args.reps):
             t0 = time.perf_counter()
             out = fn()
             sync(jax.tree_util.tree_leaves(out)[0])
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
         results[name] = round(B / dt, 2)
-        print(f"{name:24s} {B / dt:8.2f} clouds/s  ({dt:.2f} s/batch)")
+        print(f"{args.victim}/{name:24s} {B / dt:8.2f} clouds/s  "
+              f"({dt:.2f} s/batch)", flush=True)
 
     # CW-Perturb at reference hyperparameters (Perturb.py: 10 x 500)
-    run("cw_perturb_10x500", lambda: cw_perturb(
-        logits_fn, pc, target, key, binary_step=10, num_iter=500))
+    if "cw_perturb" in args.attacks:
+        run("cw_perturb_10x500", lambda: cw_perturb(
+            logits_fn, pc, target, key, binary_step=10, num_iter=500,
+            device_chunk_iters=chunk))
 
     # mixed precision: bf16 victim trunk, f32 logits head + attack math
     # (attack/mixed.py; success parity measured in RESULTS_DISCRIM.md)
-    from if_defense_tpu.attack.mixed import make_mixed_logits_fn
+    if "cw_perturb_mixed" in args.attacks:
+        from if_defense_tpu.attack.mixed import make_mixed_logits_fn
 
-    mixed_fn = make_mixed_logits_fn(model, variables, 40)
-    run("cw_perturb_mixed_10x500", lambda: cw_perturb(
-        mixed_fn, pc, target, key, binary_step=10, num_iter=500))
+        mixed_fn = make_mixed_logits_fn(model, variables, 40)
+        run("cw_perturb_mixed_10x500", lambda: cw_perturb(
+            mixed_fn, pc, target, key, binary_step=10, num_iter=500,
+            device_chunk_iters=chunk))
 
     # I-FGM / PGD, 50 iters, eps 0.08*sqrt(3N) as the driver scales it
-    import math
-
     budget = 0.08 * math.sqrt(N * 3)
-    run("ifgm_50", lambda: ifgm(
-        logits_fn, pc, target, key, budget=budget,
-        step_size=budget / 10, num_iter=50))
-    run("pgd_50", lambda: pgd(
-        logits_fn, pc, target, key, budget=budget,
-        step_size=budget / 10, num_iter=50))
+    if "ifgm" in args.attacks:
+        run("ifgm_50", lambda: ifgm(
+            logits_fn, pc, target, key, budget=budget,
+            step_size=budget / 10, num_iter=50))
+    if "pgd" in args.attacks:
+        run("pgd_50", lambda: pgd(
+            logits_fn, pc, target, key, budget=budget,
+            step_size=budget / 10, num_iter=50))
 
     # saliency Drop-200 (k=5 per round -> 40 rounds)
-    run("drop_200", lambda: saliency_drop(
-        masked_logits_fn, pc, label, num_drop=200))
+    if "drop" in args.attacks:
+        run("drop_200", lambda: saliency_drop(
+            masked_logits_fn, pc, label, num_drop=200))
 
-    print(json.dumps(results))
+    print(json.dumps({args.victim: results}))
     if args.out:
+        merged = {"metric": "attack_clouds_per_sec",
+                  "batch": B, "num_points": N, "victims": {},
+                  "note": "v5e single chip; one jitted scan per attack "
+                          "(CW host-chunked on TPU like the CLI, "
+                          "bit-identical), reference hyperparameters"}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                old = json.load(f)
+            if "victims" in old:
+                merged["victims"] = old["victims"]
+            elif "victim" in old and "results" in old:  # pre-r4 layout
+                merged["victims"][old["victim"]] = old["results"]
+        merged["victims"][args.victim] = results
         with open(args.out, "w") as f:
-            json.dump({
-                "metric": "attack_clouds_per_sec",
-                "batch": B, "num_points": N, "victim": "pointnet",
-                "results": results,
-                "note": "v5e single chip; one jitted scan per attack, "
-                        "reference hyperparameters",
-            }, f, indent=1)
+            json.dump(merged, f, indent=1)
+    return results
+
+
+if __name__ == "__main__":
+    main()
