@@ -125,14 +125,32 @@ def _resume_fingerprint(args, resolved_checkpoint: str) -> dict:
     fp = {k: v for k, v in sorted(vars(args).items())
           if k not in _NON_RESULT_ARGS}
     fp["checkpoint"] = os.path.abspath(resolved_checkpoint)
-    # identify inputs by mtime too, not just path: a dataset npz
+    # identify inputs by content too, not just path: a dataset npz
     # regenerated in place or a checkpoint retrained in place between
     # runs must not silently merge shards computed from different
-    # inputs (ADVICE r3; mirrors the inference/defense caches)
+    # inputs (ADVICE r3). The data file is identified by a sha256 of its
+    # bytes, NOT mtime — deterministic producers (the matrix driver's
+    # synthetic generator) legitimately rewrite bit-identical npz files,
+    # and an mtime key would throw away every valid in-flight shard on a
+    # driver restart. Checkpoints are orbax directories (no cheap
+    # content hash), so mtime stays the proxy there.
     fp["checkpoint_mtime"] = _mtime_or_none(fp["checkpoint"])
     if getattr(args, "data", None):
-        fp["data_mtime"] = _mtime_or_none(args.data)
+        fp["data_sha256"] = _sha256_or_none(args.data)
     return fp
+
+
+def _sha256_or_none(path: str):
+    import hashlib
+
+    try:
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+    except OSError:
+        return None
 
 
 def _mtime_or_none(path: str):
@@ -310,10 +328,25 @@ def main(argv=None):
             with open(fp_path) as f:
                 old = _json.load(f)
             if old != fp:
-                raise ValueError(
-                    f"{part_dir} holds shards from a different attack "
-                    f"configuration; delete it or change --output "
-                    f"(old={old}, new={fp})")
+                # legacy migration: pre-r4 fingerprints keyed the data
+                # file by mtime (data_mtime) instead of content hash.
+                # If every non-provenance field matches, accept the
+                # shards and upgrade the stored fingerprint — the mtime
+                # key was an over-strict proxy that a bit-identical
+                # regeneration legitimately bumps.
+                strip = ("data_mtime", "data_sha256")
+                old_core = {k: v for k, v in old.items() if k not in strip}
+                new_core = {k: v for k, v in fp.items() if k not in strip}
+                if "data_sha256" not in old and old_core == new_core:
+                    print(f"upgrading legacy resume fingerprint in "
+                          f"{part_dir} (mtime -> content hash)")
+                    with open(fp_path, "w") as f:
+                        _json.dump(fp, f)
+                else:
+                    raise ValueError(
+                        f"{part_dir} holds shards from a different "
+                        f"attack configuration; delete it or change "
+                        f"--output (old={old}, new={fp})")
         else:
             with open(fp_path, "w") as f:
                 _json.dump(fp, f)

@@ -117,3 +117,64 @@ def test_resume_recomputes_corrupt_shard(victim):
     got = np.load(out)
     np.testing.assert_array_equal(got["test_pc"], ref["test_pc"])
     assert rate == ref_rate
+
+
+def test_resume_survives_bit_identical_data_rewrite(victim):
+    """The matrix driver's deterministic generator rewrites the dataset
+    npz (same bytes, new mtime) on every invocation; in-flight shards
+    must stay valid — the fingerprint keys data by CONTENT, not mtime.
+    (A real round-4 chip run lost a 30-min DGCNN attack leg to this.)"""
+    import shutil
+
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    out_npz = str(victim["out"] / "rewrite.npz")
+    attack_main(_attack_args(
+        victim, out_npz, ["--resume", "--stop_after_batches", "1"]))
+    # rewrite the npz bit-identically (fresh mtime)
+    blob = open(victim["data"], "rb").read()
+    with open(victim["data"], "wb") as f:
+        f.write(blob)
+    out, _ = attack_main(_attack_args(victim, out_npz, ["--resume"]))
+    assert out == out_npz
+    assert not os.path.exists(out_npz + ".partial")
+
+
+def test_resume_refuses_changed_data_content(victim, tmp_path):
+    """Same path, different bytes -> must refuse (the ADVICE-r3 case)."""
+    from tools.synthetic_dataset import make_classification_npz
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    data = make_classification_npz(
+        str(tmp_path / "swap.npz"), train_per_class=4, test_per_class=2,
+        num_points=N_POINTS, seed=0, family="hard")
+    swapped = dict(victim, data=data)
+    out_npz = str(tmp_path / "swap_attack.npz")
+    attack_main(_attack_args(
+        swapped, out_npz, ["--resume", "--stop_after_batches", "1"]))
+    make_classification_npz(             # regenerate with another seed
+        str(tmp_path / "swap.npz"), train_per_class=4, test_per_class=2,
+        num_points=N_POINTS, seed=1, family="hard")
+    with pytest.raises(ValueError, match="different attack configuration"):
+        attack_main(_attack_args(swapped, out_npz, ["--resume"]))
+
+
+def test_resume_upgrades_legacy_mtime_fingerprint(victim):
+    """Pre-r4 .partial dirs keyed data by mtime; they must be accepted
+    (all non-provenance fields equal) and upgraded in place."""
+    import json
+
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    out_npz = str(victim["out"] / "legacy.npz")
+    attack_main(_attack_args(
+        victim, out_npz, ["--resume", "--stop_after_batches", "1"]))
+    fp_path = os.path.join(out_npz + ".partial", "config.json")
+    with open(fp_path) as f:
+        fp = json.load(f)
+    del fp["data_sha256"]                      # rewrite as legacy format
+    fp["data_mtime"] = 12345.0
+    with open(fp_path, "w") as f:
+        json.dump(fp, f)
+    out, _ = attack_main(_attack_args(victim, out_npz, ["--resume"]))
+    assert out == out_npz

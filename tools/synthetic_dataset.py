@@ -373,6 +373,23 @@ def main(argv=None):
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     stem = "synth8" if args.family == "easy" else "hard8"
+    # idempotence: generation is deterministic in the args, so if the
+    # outputs already exist for this exact config, keep them untouched —
+    # rewriting bit-identical bytes would still bump mtimes and spuriously
+    # invalidate mtime-keyed caches downstream (and waste a minute per
+    # driver restart)
+    import json
+
+    cls_path = os.path.join(args.out_dir, f"{stem}.npz")
+    occ_path = os.path.join(args.out_dir, f"{stem}_occ.npz")
+    cfg = {k: v for k, v in sorted(vars(args).items()) if k != "out_dir"}
+    cfg_path = os.path.join(args.out_dir, f"{stem}.config.json")
+    if os.path.exists(cls_path) and os.path.exists(occ_path) \
+            and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            if json.load(f) == cfg:
+                print(f"reuse {cls_path} and {occ_path} (same config)")
+                return cls_path, occ_path
     cls_path = make_classification_npz(
         os.path.join(args.out_dir, f"{stem}.npz"),
         args.train_per_class, args.test_per_class, args.num_points,
@@ -381,6 +398,8 @@ def main(argv=None):
         os.path.join(args.out_dir, f"{stem}_occ.npz"),
         args.occ_per_class, args.surface_n, args.query_n,
         seed=args.seed + 1, family=args.family)
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
     print(f"wrote {cls_path} and {occ_path}")
     return cls_path, occ_path
 
