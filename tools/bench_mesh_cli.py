@@ -30,6 +30,10 @@ def main(argv=None):
         if "tools" in os.path.abspath(__file__) else ".",
         "BENCH_MESH.json"))
     p.add_argument("--skip_onet", action="store_true")
+    p.add_argument("--only", default="both",
+                   choices=["both", "convonet", "onet"],
+                   help="bench a single variant (trains only what it "
+                        "needs; results merge into --out)")
     p.add_argument("--train_steps", type=int, default=1500,
                    help="implicit-net pretrain steps (keep small for "
                         "CPU smokes; ~1500 on-chip gives shape-like "
@@ -72,7 +76,9 @@ def main(argv=None):
         occ = make_occupancy_npz(
             os.path.join(tmp, "occ.npz"), per_class=20,
             surface_n=1024, query_n=2048, seed=1)
-        for name in ("convonet", "onet"):
+        needed = ("convonet", "onet") if args.only == "both" \
+            else (args.only,)
+        for name in needed:
             steps = str(args.train_steps)
             weights[name] = timpl_main([
                 "--variant", name, "--data", occ, "--steps", steps,
@@ -99,22 +105,26 @@ def main(argv=None):
         return round(rec["clouds_per_sec"], 2)
 
     results = {}
-    results["convonet_mesh_sparse_direct"] = run(
-        "convonet sparse+direct",
-        ["--variant", "convonet", "--data_root", data,
-         "--weights", weights["convonet"], "--batch_size",
-         str(args.batch), "--wire", "sparse"])
-    results["convonet_mesh_int8_direct"] = run(
-        "convonet int8+direct",
-        ["--variant", "convonet", "--data_root", data,
-         "--weights", weights["convonet"], "--batch_size",
-         str(args.batch), "--wire", "int8"])
-    if not args.skip_onet:
-        results["onet_mesh_bf16_direct"] = run(
-            "onet bf16+direct",
+    if args.only in ("both", "convonet"):
+        results["convonet_mesh_sparse_direct"] = run(
+            "convonet sparse+direct",
+            ["--variant", "convonet", "--data_root", data,
+             "--weights", weights["convonet"], "--batch_size",
+             str(args.batch), "--wire", "sparse"])
+        results["convonet_mesh_int8_direct"] = run(
+            "convonet int8+direct",
+            ["--variant", "convonet", "--data_root", data,
+             "--weights", weights["convonet"], "--batch_size",
+             str(args.batch), "--wire", "int8"])
+    if args.only in ("both", "onet") and not args.skip_onet:
+        # bf16 compute + int8 refined-voxel wire + adaptive bucket —
+        # the matrix driver's onet_mesh configuration (63f80f4)
+        results["onet_mesh_bf16_int8wire_direct"] = run(
+            "onet bf16+int8wire+direct",
             ["--variant", "onet", "--data_root", data,
              "--weights", weights["onet"], "--batch_size",
-             str(args.batch), "--compute_dtype", "bfloat16"])
+             str(args.batch), "--compute_dtype", "bfloat16",
+             "--wire", "int8"])
 
     payload = {
         "metric": "mesh_defense_clouds_per_sec",
@@ -128,6 +138,17 @@ def main(argv=None):
                 "int8 blocks only; bit-identical to dense int8). "
                 "Reproduce: python tools/bench_mesh_cli.py",
     }
+    # merge: keep other sections of BENCH_MESH.json (matrix-conditions
+    # aggregates, other cloud counts) and prior results in this section
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        key = "results_cli_{}_clouds".format(args.clouds)
+        merged_res = dict(old.get(key, {}))
+        merged_res.update(results)
+        old.update(payload)
+        old[key] = merged_res
+        payload = old
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))

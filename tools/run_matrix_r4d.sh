@@ -35,7 +35,7 @@ log "bench_attack B=128 exit=$?"
 
 # 3. controlled ONet-Mesh number with the round-4 adaptive-bucket int8 wire
 log "bench_mesh_cli onet"
-python tools/bench_mesh_cli.py --variant onet \
+python tools/bench_mesh_cli.py --only onet \
   >> "$OUT/bench_mesh_onet.log" 2>&1
 log "bench_mesh_cli onet exit=$?"
 
