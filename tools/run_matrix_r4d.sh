@@ -23,8 +23,10 @@ run_leg() { # victim attacks...
   cp -f "$OUT/seed0/results.json" "$OUT/results_after_${V}.json" 2>/dev/null
 }
 
-# 1. DGCNN headline columns (Tables 4's DUP-Net-collapse stress cells)
-run_leg dgcnn clean perturb knn drop
+# 1. DGCNN headline columns (Table 4's DUP-Net-collapse stress cells).
+#    drop before knn: drop is minutes, knn is ~40 min — if the round
+#    ends mid-leg, drop has landed.
+run_leg dgcnn clean perturb drop knn
 
 # 2. larger-batch CW on pointnet2 (B=64 was 0.94 clouds/s bf16-trunk)
 log "bench_attack pointnet2 B=128"
