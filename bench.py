@@ -71,10 +71,11 @@ TPU_PEAKS = {
 
 
 def _calibration():
+    """Parse ANCHOR_CALIBRATION.json once; {} if absent."""
     if os.path.exists(CALIBRATION_PATH):
         with open(CALIBRATION_PATH) as f:
-            return json.load(f).get("summary")
-    return None
+            return json.load(f)
+    return {}
 
 # Last-known-good on-chip measurement, refreshed by every successful real
 # -hardware run. Fallback when the TPU tunnel is unreachable at bench
@@ -244,7 +245,8 @@ def main():
         "anchor_note": "vs_baseline anchor ~24 clouds/s is a V100 FLOP "
                        "model with ~2x error bars (bench.py docstring)",
     }
-    cal = _calibration()
+    cal_all = _calibration()
+    cal = cal_all.get("summary") or {}
     if cal:
         anchor = cal["v100_anchor_clouds_per_sec"]
         line["calibrated_anchor"] = anchor
@@ -265,8 +267,7 @@ def main():
         if peaks and jax.default_backend() == "tpu":
             mode = "f32" if args.f32 else "bf16_r16"
             fl = cal.get(f"our_flops_per_cloud_{mode}")
-            with open(CALIBRATION_PATH) as f:
-                xc = json.load(f).get("xla_cost", {})
+            xc = cal_all.get("xla_cost", {})
             by = xc.get(f"bytes_per_cloud_{mode}")
             if fl:
                 line["mfu"] = round(fast_cps * fl / peaks[0], 5)

@@ -115,8 +115,7 @@ def parse_args(argv=None):
 # registry and the raw checkpoint name are excluded because their EFFECT
 # — the resolved checkpoint path — is fingerprinted instead: two runs
 # whose registries map `registry:<dataset>` to different victims must
-# NOT merge shards. (A checkpoint retrained in place between runs still
-# slips through; the benchmark drivers always write fresh paths.)
+# NOT merge shards; a retrain-in-place is caught by checkpoint_digest.
 _NON_RESULT_ARGS = ("output", "resume", "stop_after_batches",
                     "device_chunk_iters", "registry", "checkpoint")
 
@@ -132,9 +131,11 @@ def _resume_fingerprint(args, resolved_checkpoint: str) -> dict:
     # bytes, NOT mtime — deterministic producers (the matrix driver's
     # synthetic generator) legitimately rewrite bit-identical npz files,
     # and an mtime key would throw away every valid in-flight shard on a
-    # driver restart. Checkpoints are orbax directories (no cheap
-    # content hash), so mtime stays the proxy there.
-    fp["checkpoint_mtime"] = _mtime_or_none(fp["checkpoint"])
+    # driver restart. Checkpoints are orbax directories; they get a
+    # bounded content digest (relpath + size + head sample per file) —
+    # unlike mtime it survives copies/VM restores but still catches a
+    # retrain-in-place (ADVICE r3 + review r4).
+    fp["checkpoint_digest"] = _ckpt_digest_or_none(fp["checkpoint"])
     if getattr(args, "data", None):
         fp["data_sha256"] = _sha256_or_none(args.data)
     return fp
@@ -153,12 +154,34 @@ def _sha256_or_none(path: str):
         return None
 
 
-def _mtime_or_none(path: str):
+def _ckpt_digest_or_none(path: str, sample_bytes: int = 1 << 18):
+    """Bounded content digest of a checkpoint file or orbax directory.
+
+    Hashes each file's relative path, size, and first `sample_bytes` of
+    content (sorted order). Invariant under copies/restores that bump
+    mtimes; changes when the checkpoint is retrained in place (array
+    bytes differ even at identical sizes).
+    """
+    import hashlib
+
+    h = hashlib.sha256()
     try:
-        return os.path.getmtime(path)
+        if os.path.isdir(path):
+            for root, dirs, files in sorted(os.walk(path)):
+                dirs.sort()
+                for name in sorted(files):
+                    p = os.path.join(root, name)
+                    rel = os.path.relpath(p, path)
+                    h.update(rel.encode())
+                    h.update(str(os.path.getsize(p)).encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read(sample_bytes))
+        else:
+            h.update(str(os.path.getsize(path)).encode())
+            with open(path, "rb") as f:
+                h.update(f.read(sample_bytes))
+        return h.hexdigest()
     except OSError:
-        # orbax checkpoints are directories; stat the dir itself, and if
-        # even that fails leave the fingerprint path-only as before
         return None
 
 
@@ -328,18 +351,27 @@ def main(argv=None):
             with open(fp_path) as f:
                 old = _json.load(f)
             if old != fp:
-                # legacy migration: pre-r4 fingerprints keyed the data
-                # file by mtime (data_mtime) instead of content hash.
-                # If every non-provenance field matches, accept the
-                # shards and upgrade the stored fingerprint — the mtime
-                # key was an over-strict proxy that a bit-identical
-                # regeneration legitimately bumps.
-                strip = ("data_mtime", "data_sha256")
-                old_core = {k: v for k, v in old.items() if k not in strip}
-                new_core = {k: v for k, v in fp.items() if k not in strip}
-                if "data_sha256" not in old and old_core == new_core:
+                # legacy migration: earlier fingerprint schemas keyed
+                # inputs by mtime (data_mtime / checkpoint_mtime)
+                # instead of content digests. Mtime keys are over-strict
+                # proxies that bit-identical regeneration, copies, and
+                # VM restores legitimately bump. Accept the shards and
+                # upgrade iff (a) the old fingerprint predates at least
+                # one of the content-digest keys, (b) every
+                # non-provenance field matches, and (c) every provenance
+                # key present in BOTH fingerprints matches (a real
+                # content change still invalidates).
+                prov = ("data_mtime", "data_sha256",
+                        "checkpoint_mtime", "checkpoint_digest")
+                old_core = {k: v for k, v in old.items() if k not in prov}
+                new_core = {k: v for k, v in fp.items() if k not in prov}
+                legacy = any(k in fp and k not in old
+                             for k in ("data_sha256", "checkpoint_digest"))
+                shared_ok = all(old[k] == fp[k] for k in prov
+                                if k in old and k in fp)
+                if legacy and shared_ok and old_core == new_core:
                     print(f"upgrading legacy resume fingerprint in "
-                          f"{part_dir} (mtime -> content hash)")
+                          f"{part_dir} (mtime -> content digest)")
                     with open(fp_path, "w") as f:
                         _json.dump(fp, f)
                 else:

@@ -21,7 +21,6 @@ from if_defense_tpu.models.common import DenseBN, PointwiseMLP
 from if_defense_tpu.ops import (
     farthest_point_sample,
     gather_neighbors,
-    index_points,
     knn_points,
     square_distance,
 )

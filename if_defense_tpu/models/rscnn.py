@@ -20,7 +20,6 @@ from if_defense_tpu.models.common import DenseBN, PointwiseMLP
 from if_defense_tpu.ops import (
     farthest_point_sample,
     gather_neighbors,
-    index_points,
     query_ball_point,
 )
 

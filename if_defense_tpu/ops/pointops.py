@@ -152,8 +152,8 @@ def gather_neighbors(points: jax.Array, idx: jax.Array) -> jax.Array:
     TPU-fast alternative to `index_points` for grouped gathers (XLA lowers
     small-row gathers to slow row-at-a-time loads; the one-hot matmul
     stays on the MXU — measured 1.8 ms vs 5.1 ms for [40,512,32,3] on
-    v5e). The backward pass picks scatter-add for narrow channels and a
-    one-hot contraction for wide ones (see _GATHER_SCATTER_BWD_MAX_C).
+    v5e). The backward pass is ALWAYS a one-hot contraction too: XLA
+    scatter-add of narrow rows measured 10.6 ms vs 2.2 ms at C=3.
     Accurate to ~1e-7 relative (bf16x3 selection matmul).
 
     Args:

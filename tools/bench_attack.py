@@ -93,6 +93,10 @@ def main(argv=None):
             sync(jax.tree_util.tree_leaves(out)[0])
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
+        # non-default batch sizes get their own key so a B!=64 rerun
+        # coexists with (rather than overwrites) the canonical entries
+        if B != 64:
+            name = f"{name}_b{B}"
         results[name] = round(B / dt, 2)
         print(f"{args.victim}/{name:24s} {B / dt:8.2f} clouds/s  "
               f"({dt:.2f} s/batch)", flush=True)
@@ -143,7 +147,14 @@ def main(argv=None):
                 merged["victims"] = old["victims"]
             elif "victim" in old and "results" in old:  # pre-r4 layout
                 merged["victims"][old["victim"]] = old["results"]
-        merged["victims"][args.victim] = results
+            # keep the batch/num_points the retained entries were
+            # measured at unless this run measured EVERY victim anew
+            for k in ("batch", "num_points"):
+                if k in old and old.get("victims", {}).keys() - {args.victim}:
+                    merged[k] = old[k]
+        # merge per ATTACK so a single-attack rerun can't delete the
+        # victim's other recorded measurements (docstring contract)
+        merged["victims"].setdefault(args.victim, {}).update(results)
         with open(args.out, "w") as f:
             json.dump(merged, f, indent=1)
     return results

@@ -405,6 +405,14 @@ def main(argv=None):
     data_npz = None
     if "data" in args.stages:
         data_npz = stage_data(args, report, manifest)
+    else:
+        # staged resume: consume the data stage's artifact from a prior
+        # invocation (synthesized-targets npz, else the raw --data)
+        prior = os.path.join(args.out_dir, "data_with_targets.npz")
+        if os.path.exists(prior):
+            data_npz = prior
+        elif manifest["data"]:
+            data_npz = args.data
     if "clean" in args.stages:
         stage_clean(args, report, manifest, converted, data_npz, baseline)
     results_path = None
