@@ -178,3 +178,26 @@ def test_resume_upgrades_legacy_mtime_fingerprint(victim):
         json.dump(fp, f)
     out, _ = attack_main(_attack_args(victim, out_npz, ["--resume"]))
     assert out == out_npz
+
+
+def test_ckpt_digest_copy_invariant_retrain_sensitive(tmp_path):
+    """The checkpoint digest must survive mtime bumps / copies (a VM
+    restore must not invalidate valid shards) but change when the
+    checkpoint bytes change (retrain-in-place must invalidate)."""
+    import shutil
+
+    from if_defense_tpu.cli.attack import _ckpt_digest_or_none
+
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    (ck / "array0").write_bytes(b"\x01\x02" * 100)
+    (ck / "meta.json").write_text('{"step": 1}')
+    d0 = _ckpt_digest_or_none(str(ck))
+    os.utime(ck / "array0", (1.0, 1.0))          # mtime bump
+    assert _ckpt_digest_or_none(str(ck)) == d0
+    copy = tmp_path / "ckpt_copy"                # restored copy
+    shutil.copytree(ck, copy)
+    assert _ckpt_digest_or_none(str(copy)) == d0
+    (ck / "array0").write_bytes(b"\x03\x04" * 100)  # retrained bytes
+    assert _ckpt_digest_or_none(str(ck)) != d0
+    assert _ckpt_digest_or_none(str(tmp_path / "missing")) is None
