@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-4 chip queue, stage F (chained after run_matrix_r4e.sh exits):
+# the reference Tables 2-5 ALIAS columns the stage-E legs omitted —
+# add_hd (CW-Add + Hausdorff adv distance) and drop100 (Saliency Drop
+# num_drop=100) — for the victims whose artifacts stage E trained.
+set -u
+cd /root/repo
+OUT=.matrix_r4
+mkdir -p "$OUT"
+log() { echo "=== [$(date -u +%H:%M:%S)] $* ===" | tee -a "$OUT/driver.log"; }
+
+run_leg() { # tag victim attacks...
+  local TAG=$1 V=$2; shift 2
+  log "leg $TAG ($V): $*"
+  python tools/accuracy_benchmark.py \
+    --out_dir "$OUT" --seeds 0 \
+    --victims "$V" \
+    --attacks "$@" \
+    --defenses none srs sor dup onet_opt convonet_opt onet_mesh convonet_mesh \
+    --onet_modes f32 bf16 \
+    --reuse_artifacts >> "$OUT/leg_${TAG}.log" 2>&1
+  log "leg $TAG exit=$?"
+  cp -f "$OUT/seed0/results.json" "$OUT/results_after_${TAG}.json" 2>/dev/null
+}
+
+run_leg dgcnn_alias     dgcnn     drop100 add_hd
+run_leg pointconv_alias pointconv drop100 add_hd
+run_leg rscnn_alias     rscnn     drop100 add_hd
+log "all r4f legs done"
