@@ -135,29 +135,40 @@ def main(argv=None):
 
     print(json.dumps({args.victim: results}))
     if args.out:
-        merged = {"metric": "attack_clouds_per_sec",
-                  "batch": B, "num_points": N, "victims": {},
-                  "note": "v5e single chip; one jitted scan per attack "
-                          "(CW host-chunked on TPU like the CLI, "
-                          "bit-identical), reference hyperparameters"}
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                old = json.load(f)
-            if "victims" in old:
-                merged["victims"] = old["victims"]
-            elif "victim" in old and "results" in old:  # pre-r4 layout
-                merged["victims"][old["victim"]] = old["results"]
-            # keep the batch/num_points the retained entries were
-            # measured at unless this run measured EVERY victim anew
-            for k in ("batch", "num_points"):
-                if k in old and old.get("victims", {}).keys() - {args.victim}:
-                    merged[k] = old[k]
-        # merge per ATTACK so a single-attack rerun can't delete the
-        # victim's other recorded measurements (docstring contract)
-        merged["victims"].setdefault(args.victim, {}).update(results)
+        merged = merge_record(args.out, args.victim, results, B, N)
         with open(args.out, "w") as f:
             json.dump(merged, f, indent=1)
     return results
+
+
+def merge_record(out_path, victim, results, batch, num_points):
+    """Merge one victim's new measurements into the bench JSON record.
+
+    Per-ATTACK merge: a single-attack rerun extends/updates the victim's
+    entry without deleting its other recorded measurements (the
+    docstring contract a whole-dict replace violated, review r4). The
+    top-level batch/num_points describe the retained entries and are
+    only retaken when no other victim's rows are kept.
+    """
+    merged = {"metric": "attack_clouds_per_sec",
+              "batch": batch, "num_points": num_points, "victims": {},
+              "note": "v5e single chip; one jitted scan per attack "
+                      "(CW host-chunked on TPU like the CLI, "
+                      "bit-identical), reference hyperparameters"}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = json.load(f)
+        if "victims" in old:
+            merged["victims"] = old["victims"]
+        elif "victim" in old and "results" in old:  # pre-r4 layout
+            merged["victims"][old["victim"]] = old["results"]
+        for k in ("batch", "num_points"):
+            if k in old and merged["victims"].keys() - {victim}:
+                merged[k] = old[k]
+        if "note" in old:
+            merged["note"] = old["note"]
+    merged["victims"].setdefault(victim, {}).update(results)
+    return merged
 
 
 if __name__ == "__main__":
