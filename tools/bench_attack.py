@@ -48,6 +48,10 @@ def main(argv=None):
                    choices=ATTACKS)
     p.add_argument("--reps", type=int, default=2)
     p.add_argument("--out", default=None)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="CW device_chunk_iters override (default: the "
+                        "CLI policy, 100 on TPU / fused elsewhere); "
+                        "results keys get a _c<N> suffix")
     args = p.parse_args(argv)
 
     import jax
@@ -73,7 +77,8 @@ def main(argv=None):
     # same chunk policy as cli/attack.py: bound every CW device call on
     # TPU (the fused 5000-iter scan-of-scans on a heavyweight victim
     # exceeds the runtime's single-execution limit); fused elsewhere
-    chunk = 100 if jax.default_backend() == "tpu" else None
+    chunk = args.chunk if args.chunk is not None else (
+        100 if jax.default_backend() == "tpu" else None)
 
     def logits_fn(x):
         return model.apply(variables, x, train=False)[0]
@@ -97,6 +102,8 @@ def main(argv=None):
         # coexists with (rather than overwrites) the canonical entries
         if B != 64:
             name = f"{name}_b{B}"
+        if args.chunk is not None:
+            name = f"{name}_c{args.chunk}"
         results[name] = round(B / dt, 2)
         print(f"{args.victim}/{name:24s} {B / dt:8.2f} clouds/s  "
               f"({dt:.2f} s/batch)", flush=True)

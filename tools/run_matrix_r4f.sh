@@ -23,6 +23,18 @@ run_leg() { # tag victim attacks...
   cp -f "$OUT/seed0/results.json" "$OUT/results_after_${TAG}.json" 2>/dev/null
 }
 
+# 0. chunk-size A/B on the pointnet2 CW loop: B=64 mixed at the default
+#    chunk=100 measured 0.94 clouds/s; fewer+longer device calls shave
+#    dispatch/sync overhead if the runtime tolerates them (~minutes)
+for C in 250 500; do
+  log "bench_attack pointnet2 chunk=$C"
+  python tools/bench_attack.py --victim pointnet2 --batch 64 \
+    --attacks cw_perturb_mixed --chunk "$C" \
+    --out /root/repo/BENCH_ATTACK.json \
+    >> "$OUT/bench_attack_pn2_c${C}.log" 2>&1
+  log "bench_attack chunk=$C exit=$?"
+done
+
 run_leg dgcnn_alias     dgcnn     drop100 add_hd
 run_leg pointconv_alias pointconv drop100 add_hd
 run_leg rscnn_alias     rscnn     drop100 add_hd
