@@ -35,6 +35,11 @@ for C in 250 500; do
   log "bench_attack chunk=$C exit=$?"
 done
 
+# 0.5 the PointNet++ defended-clean row RESULTS_MATRIX flags as queued:
+#     defended-clean npz artifacts are victim-independent and already in
+#     the out_dir; only the (seed-deterministic) pointnet2 train is new
+run_leg pointnet2_clean pointnet2 clean
+
 run_leg dgcnn_alias     dgcnn     drop100 add_hd
 run_leg pointconv_alias pointconv drop100 add_hd
 run_leg rscnn_alias     rscnn     drop100 add_hd
