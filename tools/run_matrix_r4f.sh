@@ -43,4 +43,7 @@ run_leg pointnet2_clean pointnet2 clean
 run_leg dgcnn_alias     dgcnn     drop100 add_hd
 run_leg pointconv_alias pointconv drop100 add_hd
 run_leg rscnn_alias     rscnn     drop100 add_hd
+# round-3's pointnet alias runs died with the relay; re-land them last
+run_leg pointnet_alias   pointnet  drop100 add_hd
+run_leg pointnet2_alias  pointnet2 drop100 add_hd
 log "all r4f legs done"
