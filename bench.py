@@ -126,6 +126,54 @@ def devices_or_none(timeout_s: float, retries: int = 1):
     return None
 
 
+def _pause_chip_queue():
+    """SIGSTOP any running round-4 chip-queue process trees.
+
+    The matrix/bench queue (tools/run_matrix_r4*.sh) can be mid-leg when
+    the round-end driver runs this bench; sharing the single chip during
+    timing would understate the headline number. Queue roots advertise
+    themselves via /tmp/r4*.pid; their whole /proc children trees are
+    stopped for the measurement window and SIGCONTed afterwards
+    (finally-guarded — a crash mid-measure still resumes them)."""
+    import glob
+    import signal
+
+    pids: list[int] = []
+    for pf in sorted(glob.glob("/tmp/r4*.pid")):
+        try:
+            stack = [int(open(pf).read().split()[0])]
+        except (OSError, ValueError, IndexError):
+            continue
+        while stack:
+            p = stack.pop()
+            if p in pids:
+                continue
+            try:
+                with open(f"/proc/{p}/task/{p}/children") as f:
+                    stack.extend(int(x) for x in f.read().split())
+            except OSError:
+                continue          # process already gone
+            pids.append(p)
+    stopped = []
+    for p in pids:
+        try:
+            os.kill(p, signal.SIGSTOP)
+            stopped.append(p)
+        except (OSError, ProcessLookupError):
+            pass
+    return stopped
+
+
+def _resume_chip_queue(stopped):
+    import signal
+
+    for p in reversed(stopped):
+        try:
+            os.kill(p, signal.SIGCONT)
+        except (OSError, ProcessLookupError):
+            pass
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true",
@@ -229,9 +277,13 @@ def main():
         float(out[0, 0, 0])
         return args.num_batches * B / (time.time() - t0)
 
-    f32_cps = measure(None, 1)
-    fast_cps = (f32_cps if args.f32
-                else measure("bfloat16", args.interp_refresh))
+    paused = _pause_chip_queue()
+    try:
+        f32_cps = measure(None, 1)
+        fast_cps = (f32_cps if args.f32
+                    else measure("bfloat16", args.interp_refresh))
+    finally:
+        _resume_chip_queue(paused)
 
     line = {
         "metric": "convonet_opt_clouds_per_sec",
