@@ -333,6 +333,17 @@ def run_seed(args, seed: int) -> dict:
                 "--batch_size", str(args.batch_size), "--mode", "target"])
             return r
 
+        def snapshot():
+            # incremental results: a leg interrupted mid-attack (VM
+            # restart, round end) keeps its finished rows queryable —
+            # atomic tmp+replace so a concurrent reader never sees a
+            # torn file
+            results["victims"][victim] = vres
+            tmp = os.path.join(sd, "results.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(results, f, indent=2, default=float)
+            os.replace(tmp, os.path.join(sd, "results.json"))
+
         for attack in args.attacks:
             if attack == "clean":
                 # pseudo-attack: defenses applied to the CLEAN test set —
@@ -348,6 +359,7 @@ def run_seed(args, seed: int) -> dict:
                       + ", ".join(f"{k} {v['accuracy']:.3f}"
                                   for k, v in ares["defended"].items()),
                       flush=True)
+                snapshot()
                 continue
             cli_attack, extra = attack_cli_args(
                 attack, cw_steps, knn_iter, num_drop)
@@ -395,6 +407,7 @@ def run_seed(args, seed: int) -> dict:
                   + ", ".join(f"{k} {v['accuracy']:.3f}"
                               for k, v in ares["defended"].items()),
                   flush=True)
+            snapshot()
         results["victims"][victim] = vres
 
     with open(os.path.join(sd, "results.json"), "w") as f:
