@@ -134,19 +134,48 @@ def _pause_chip_queue():
     timing would understate the headline number. Queue roots advertise
     themselves via /tmp/r4*.pid; their whole /proc children trees are
     stopped for the measurement window and SIGCONTed afterwards
-    (finally-guarded — a crash mid-measure still resumes them)."""
+    (finally-guarded — a crash mid-measure still resumes them).
+
+    Safety (ADVICE r4): a pid-file root is only trusted if its /proc
+    cmdline actually mentions the queue scripts (stale/recycled or
+    foreign pid files are skipped), and this process plus its ancestors
+    are never signalled (bench launched from inside a queue tree must
+    not SIGSTOP itself — the finally-guarded SIGCONT would never run)."""
     import glob
     import signal
+
+    def _cmdline(p):
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                return f.read().replace(b"\x00", b" ").decode(
+                    "utf-8", "replace")
+        except OSError:
+            return ""
+
+    protected = {os.getpid()}
+    p = os.getpid()
+    while p > 1:
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                # field 4 (after the parenthesised comm, which may
+                # itself contain spaces) is ppid
+                p = int(f.read().rpartition(")")[2].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+        protected.add(p)
 
     pids: list[int] = []
     for pf in sorted(glob.glob("/tmp/r4*.pid")):
         try:
-            stack = [int(open(pf).read().split()[0])]
+            root = int(open(pf).read().split()[0])
         except (OSError, ValueError, IndexError):
             continue
+        if "run_matrix_r4" not in _cmdline(root):
+            continue              # stale/recycled/foreign pid file
+        stack = [root]
         while stack:
             p = stack.pop()
-            if p in pids:
+            if p in pids or p in protected:
                 continue
             try:
                 with open(f"/proc/{p}/task/{p}/children") as f:

@@ -154,14 +154,64 @@ def _sha256_or_none(path: str):
         return None
 
 
+def _mtime_or_none(path: str):
+    # only used to VERIFY legacy (pre-content-digest) fingerprints on
+    # resume-schema upgrade; new fingerprints never record mtimes
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return None
+
+
 def _ckpt_digest_or_none(path: str, sample_bytes: int = 1 << 18):
     """Bounded content digest of a checkpoint file or orbax directory.
 
-    Hashes each file's relative path, size, and first `sample_bytes` of
-    content (sorted order). Invariant under copies/restores that bump
-    mtimes; changes when the checkpoint is retrained in place (array
-    bytes differ even at identical sizes).
+    v2: hashes each file's relative path, size, and head+tail
+    `sample_bytes` samples (full content for files under 2*sample_bytes),
+    with field delimiters so adjacent fields can't alias. Invariant under
+    copies/restores that bump mtimes; catches a retrain-in-place whenever
+    any file's size, head, or tail bytes change. NOT a full-content
+    guarantee: a rewrite that preserves every file's size and both
+    sampled regions (conceivable for chunked stores whose sampled bytes
+    are headers/index data) escapes — accepted trade-off to keep the
+    digest bounded on multi-GB checkpoints.
     """
+    import hashlib
+
+    h = hashlib.sha256()
+
+    def hash_file(p, rel):
+        size = os.path.getsize(p)
+        h.update(rel.encode())
+        h.update(b"\x00")
+        h.update(str(size).encode())
+        h.update(b"\x00")
+        with open(p, "rb") as f:
+            h.update(f.read(sample_bytes))
+            if size > 2 * sample_bytes:
+                f.seek(size - sample_bytes)
+                h.update(f.read(sample_bytes))
+            elif size > sample_bytes:
+                h.update(f.read())
+        h.update(b"\x01")
+
+    try:
+        if os.path.isdir(path):
+            for root, dirs, files in sorted(os.walk(path)):
+                dirs.sort()
+                for name in sorted(files):
+                    p = os.path.join(root, name)
+                    hash_file(p, os.path.relpath(p, path))
+        else:
+            hash_file(path, os.path.basename(path))
+        return "v2:" + h.hexdigest()
+    except OSError:
+        return None
+
+
+def _ckpt_digest_v1(path: str, sample_bytes: int = 1 << 18):
+    """The round-4 digest (no delimiters, head sample only) — kept ONLY
+    to verify legacy fingerprints during resume-schema upgrade."""
     import hashlib
 
     h = hashlib.sha256()
@@ -351,27 +401,43 @@ def main(argv=None):
             with open(fp_path) as f:
                 old = _json.load(f)
             if old != fp:
-                # legacy migration: earlier fingerprint schemas keyed
-                # inputs by mtime (data_mtime / checkpoint_mtime)
-                # instead of content digests. Mtime keys are over-strict
-                # proxies that bit-identical regeneration, copies, and
-                # VM restores legitimately bump. Accept the shards and
-                # upgrade iff (a) the old fingerprint predates at least
-                # one of the content-digest keys, (b) every
-                # non-provenance field matches, and (c) every provenance
-                # key present in BOTH fingerprints matches (a real
-                # content change still invalidates).
+                # fingerprint-schema migration: earlier schemas keyed
+                # inputs by mtime (data_mtime / checkpoint_mtime) or by
+                # the v1 checkpoint digest. Accept the shards and
+                # upgrade iff (a) every non-provenance field matches and
+                # (b) EVERY provenance signal the old fingerprint
+                # recorded verifies against the CURRENT inputs under its
+                # own schema — old mtimes against the file's current
+                # mtime, a v1 digest against a recomputed v1 digest —
+                # so a content change between the legacy run and this
+                # resume invalidates instead of slipping through the
+                # schema gap (ADVICE r4: shared-key comparison was
+                # vacuous across disjoint schemas).
                 prov = ("data_mtime", "data_sha256",
                         "checkpoint_mtime", "checkpoint_digest")
                 old_core = {k: v for k, v in old.items() if k not in prov}
                 new_core = {k: v for k, v in fp.items() if k not in prov}
-                legacy = any(k in fp and k not in old
-                             for k in ("data_sha256", "checkpoint_digest"))
-                shared_ok = all(old[k] == fp[k] for k in prov
-                                if k in old and k in fp)
-                if legacy and shared_ok and old_core == new_core:
-                    print(f"upgrading legacy resume fingerprint in "
-                          f"{part_dir} (mtime -> content digest)")
+
+                def _prov_verified(k, v):
+                    if k == "checkpoint_mtime":
+                        return v == _mtime_or_none(fp["checkpoint"])
+                    if k == "checkpoint_digest":
+                        if isinstance(v, str) and v.startswith("v2:"):
+                            return v == fp.get("checkpoint_digest")
+                        return v == _ckpt_digest_v1(fp["checkpoint"])
+                    if k == "data_mtime":
+                        return (getattr(args, "data", None) is not None
+                                and v == _mtime_or_none(args.data))
+                    if k == "data_sha256":
+                        return v == fp.get("data_sha256")
+                    return False
+
+                prov_ok = all(_prov_verified(k, old[k])
+                              for k in prov if k in old)
+                if prov_ok and old_core == new_core:
+                    print(f"upgrading resume fingerprint schema in "
+                          f"{part_dir} (provenance re-verified against "
+                          f"current inputs)")
                     with open(fp_path, "w") as f:
                         _json.dump(fp, f)
                 else:

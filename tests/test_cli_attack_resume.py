@@ -160,8 +160,10 @@ def test_resume_refuses_changed_data_content(victim, tmp_path):
 
 
 def test_resume_upgrades_legacy_mtime_fingerprint(victim):
-    """Pre-r4 .partial dirs keyed data by mtime; they must be accepted
-    (all non-provenance fields equal) and upgraded in place."""
+    """Pre-r4 .partial dirs keyed data by mtime; they are accepted and
+    upgraded in place ONLY when the recorded mtime still matches the
+    file — the one provenance check the legacy schema supports (ADVICE
+    r4: a shared-key comparison across disjoint schemas was vacuous)."""
     import json
 
     from if_defense_tpu.cli.attack import main as attack_main
@@ -173,11 +175,74 @@ def test_resume_upgrades_legacy_mtime_fingerprint(victim):
     with open(fp_path) as f:
         fp = json.load(f)
     del fp["data_sha256"]                      # rewrite as legacy format
-    fp["data_mtime"] = 12345.0
+    fp["data_mtime"] = os.path.getmtime(victim["data"])
     with open(fp_path, "w") as f:
         json.dump(fp, f)
     out, _ = attack_main(_attack_args(victim, out_npz, ["--resume"]))
     assert out == out_npz
+
+
+def test_resume_refuses_unverifiable_legacy_fingerprint(victim):
+    """A legacy fingerprint whose recorded mtime does NOT match the
+    current file means the input may have changed since the legacy run
+    — content provenance is unverifiable, so the shards are refused
+    instead of silently merged (ADVICE r4)."""
+    import json
+
+    import pytest
+
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    out_npz = str(victim["out"] / "legacy_bad.npz")
+    attack_main(_attack_args(
+        victim, out_npz, ["--resume", "--stop_after_batches", "1"]))
+    fp_path = os.path.join(out_npz + ".partial", "config.json")
+    with open(fp_path) as f:
+        fp = json.load(f)
+    del fp["data_sha256"]
+    fp["data_mtime"] = 12345.0                 # stale: file was touched
+    with open(fp_path, "w") as f:
+        json.dump(fp, f)
+    with pytest.raises(ValueError, match="different attack configuration"):
+        attack_main(_attack_args(victim, out_npz, ["--resume"]))
+
+
+def test_resume_upgrades_v1_digest_fingerprint(victim):
+    """Round-4 .partial dirs carry the v1 checkpoint digest; they are
+    accepted iff a recomputed v1 digest of the CURRENT checkpoint
+    matches (real content verification across the schema change), and
+    refused when it doesn't."""
+    import json
+
+    import pytest
+
+    from if_defense_tpu.cli.attack import _ckpt_digest_v1
+    from if_defense_tpu.cli.attack import main as attack_main
+
+    out_npz = str(victim["out"] / "v1fp.npz")
+    attack_main(_attack_args(
+        victim, out_npz, ["--resume", "--stop_after_batches", "1"]))
+    fp_path = os.path.join(out_npz + ".partial", "config.json")
+    with open(fp_path) as f:
+        fp = json.load(f)
+    fp["checkpoint_digest"] = _ckpt_digest_v1(fp["checkpoint"])
+    with open(fp_path, "w") as f:
+        json.dump(fp, f)
+    out, _ = attack_main(_attack_args(victim, out_npz, ["--resume"]))
+    assert out == out_npz                      # accepted + completed
+    assert not os.path.exists(out_npz + ".partial")
+
+    out_npz2 = str(victim["out"] / "v1fp_bad.npz")
+    attack_main(_attack_args(
+        victim, out_npz2, ["--resume", "--stop_after_batches", "1"]))
+    fp_path2 = os.path.join(out_npz2 + ".partial", "config.json")
+    with open(fp_path2) as f:
+        fp2 = json.load(f)
+    fp2["checkpoint_digest"] = "0" * 64        # retrained-ckpt v1 digest
+    with open(fp_path2, "w") as f:
+        json.dump(fp2, f)
+    with pytest.raises(ValueError, match="different attack configuration"):
+        attack_main(_attack_args(victim, out_npz2, ["--resume"]))
 
 
 def test_ckpt_digest_copy_invariant_retrain_sensitive(tmp_path):
@@ -201,3 +266,13 @@ def test_ckpt_digest_copy_invariant_retrain_sensitive(tmp_path):
     (ck / "array0").write_bytes(b"\x03\x04" * 100)  # retrained bytes
     assert _ckpt_digest_or_none(str(ck)) != d0
     assert _ckpt_digest_or_none(str(tmp_path / "missing")) is None
+
+    # v2 samples the TAIL too: a retrain that keeps a big file's size
+    # and head bytes but changes later content must still invalidate
+    # (ADVICE r4 — head-only sampling missed it)
+    big = tmp_path / "big_ckpt"
+    big.mkdir()
+    (big / "array0").write_bytes(b"H" * 64 + b"M" * 64 + b"T" * 64)
+    d1 = _ckpt_digest_or_none(str(big), sample_bytes=16)
+    (big / "array0").write_bytes(b"H" * 64 + b"M" * 64 + b"X" * 64)
+    assert _ckpt_digest_or_none(str(big), sample_bytes=16) != d1

@@ -1,6 +1,8 @@
 """Tests for the smaller inventory components: IoU, MSG/FP, registry,
 decoder variants, latent encoder, profiling."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,6 +76,31 @@ def test_checkpoint_registry(tmp_path):
         raise AssertionError("expected KeyError")
     except KeyError as e:
         assert "dgcnn" in str(e)
+
+
+def test_committed_registry_paths_resolve():
+    """Every checkpoint path in the COMMITTED weights/registry.json must
+    exist: ephemeral local-state entries (/tmp verification runs) have
+    leaked into the shipped registry twice (ADVICE r3+r4) and dangle
+    after any VM restart. Verification/benchmark runs must pass
+    --registry pointing at a non-committed path instead."""
+    import json
+
+    from if_defense_tpu.utils.registry import DEFAULT_PATH
+
+    with open(DEFAULT_PATH) as f:
+        reg = json.load(f)
+    missing = [
+        ckpt
+        for by_np in reg.values()
+        for by_model in by_np.values()
+        for ckpt in by_model.values()
+        if not os.path.exists(ckpt)
+    ]
+    assert not missing, (
+        f"committed registry points at non-existent checkpoints "
+        f"{missing}; keep local runs out of weights/registry.json "
+        f"(use --registry <tmp path>)")
 
 
 def test_phase_timer():

@@ -154,8 +154,11 @@ def merge_record(out_path, victim, results, batch, num_points):
     Per-ATTACK merge: a single-attack rerun extends/updates the victim's
     entry without deleting its other recorded measurements (the
     docstring contract a whole-dict replace violated, review r4). The
-    top-level batch/num_points describe the retained entries and are
-    only retaken when no other victim's rows are kept.
+    top-level batch/num_points describe the UNSUFFIXED retained entries
+    (non-default batches get `_b<N>`-suffixed keys), so they are kept
+    from the old record whenever ANY old rows are retained — including
+    rows of the victim being merged (ADVICE r4: keying only on other
+    victims relabeled retained B=64 rows with a B=128 rerun's batch).
     """
     merged = {"metric": "attack_clouds_per_sec",
               "batch": batch, "num_points": num_points, "victims": {},
@@ -170,7 +173,7 @@ def merge_record(out_path, victim, results, batch, num_points):
         elif "victim" in old and "results" in old:  # pre-r4 layout
             merged["victims"][old["victim"]] = old["results"]
         for k in ("batch", "num_points"):
-            if k in old and merged["victims"].keys() - {victim}:
+            if k in old and any(merged["victims"].values()):
                 merged[k] = old[k]
         if "note" in old:
             merged["note"] = old["note"]
