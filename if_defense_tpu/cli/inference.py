@@ -27,6 +27,19 @@ from if_defense_tpu.utils.cache import BoundedCache
 from if_defense_tpu.utils.checkpoint import restore_checkpoint_raw
 
 
+def class_margins(logits: np.ndarray, cls: np.ndarray) -> np.ndarray:
+    """Margin of class `cls` vs the best OTHER class, per row.
+
+    Positive = `cls` wins argmax by that much. Used by --boundary_tau
+    scoring: robust-correct requires margin(label) > tau; targeted
+    success requires margin(target) > -tau (CW stops at margin 0, so
+    boundary examples count as successful on every backend)."""
+    own = np.take_along_axis(logits, cls[:, None], axis=-1)[:, 0]
+    masked = logits.copy()
+    np.put_along_axis(masked, cls[:, None], -np.inf, axis=-1)
+    return own - masked.max(-1)
+
+
 def adjust_num_points(num_points: int, data_path: str) -> int:
     """Add-family attacks append points; grow the eval cloud accordingly."""
     name = os.path.basename(data_path).lower()
@@ -94,6 +107,17 @@ def parse_args(argv=None):
     p.add_argument("--metrics_out", default=None)
     p.add_argument("--registry", default=None,
                    help="registry JSON for registry:<dataset> checkpoints")
+    p.add_argument("--boundary_tau", type=float, default=0.0,
+                   help="margin-tolerant scoring for adversarial npz: "
+                        "count an example CORRECT only if the true "
+                        "logit beats every other by > tau, and count "
+                        "targeted SUCCESS if the target logit is within "
+                        "tau of the top (CW stops exactly at the "
+                        "decision boundary, so plain argmax flips with "
+                        "backend float noise; tau >> cross-backend "
+                        "logit deltas makes both columns "
+                        "backend-stable). 0 = exact argmax (reference "
+                        "semantics, `baselines/inference.py`)")
     return p.parse_args(argv)
 
 
@@ -145,21 +169,31 @@ def main(argv=None):
             partition="test", augmentation=False,
         )
 
+    tau = args.boundary_tau
     correct, success, total = 0, 0, 0
     for batch, valid in batch_iterator(ds, args.batch_size, pad_last=True):
         pc = shard_batch(batch[0].astype(np.float32), mesh)
-        logits = np.asarray(eval_step(variables, pc))
-        pred = logits.argmax(-1)[:valid]
+        logits = np.asarray(eval_step(variables, pc))[:valid]
         label = batch[1][:valid]
-        correct += int((pred == label).sum())
+        if tau > 0.0:
+            correct += int((class_margins(logits, label) > tau).sum())
+        else:
+            pred = logits.argmax(-1)
+            correct += int((pred == label).sum())
         total += valid
         if args.mode == "target":
             target = batch[2][:valid]
-            success += int((pred == target).sum())
+            if tau > 0.0:
+                success += int(
+                    (class_margins(logits, target) > -tau).sum())
+            else:
+                success += int((pred == target).sum())
 
     acc = correct / max(total, 1)
     out = {"data": args.data, "model": meta.get("model", args.model),
            "num_points": num_points, "accuracy": acc, "n": total}
+    if tau > 0.0:
+        out["boundary_tau"] = tau
     if args.mode == "target":
         out["target_success"] = success / max(total, 1)
     MetricsWriter(args.metrics_out).write(**out)

@@ -32,6 +32,33 @@ def test_inference_point_adjustment():
     assert adjust_num_points(1024, "perturb-x.npz") == 1024
 
 
+def test_boundary_tau_margins():
+    """Margin-tolerant scoring semantics (RESULTS_MATRIX protocol): a
+    boundary example (|margin| < tau) counts as attack SUCCESS on every
+    backend and never as robust-correct; clear wins/losses unchanged."""
+    import numpy as np
+
+    from if_defense_tpu.cli.inference import class_margins
+
+    #           cls0   cls1   cls2
+    logits = np.array([
+        [5.0,   1.0,   0.0],    # clear cls0 win (margin 4)
+        [1.0,   1.01,  0.0],    # boundary between 0 and 1 (margin .01)
+        [0.0,   1.0,   6.0],    # clear cls2 win
+    ])
+    label = np.array([0, 0, 0])
+    target = np.array([2, 1, 2])
+    m_l = class_margins(logits, label)
+    m_t = class_margins(logits, target)
+    np.testing.assert_allclose(m_l, [4.0, -0.01, -6.0])
+    np.testing.assert_allclose(m_t, [-5.0, 0.01, 5.0])
+    tau = 0.5
+    # robust-correct: only the clear cls0 win
+    assert list(m_l > tau) == [True, False, False]
+    # targeted success: boundary row counts, clear-miss row doesn't
+    assert list(m_t > -tau) == [False, True, True]
+
+
 def test_opt_defense_args():
     from if_defense_tpu.cli.opt_defense import parse_args
 

