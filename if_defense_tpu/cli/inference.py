@@ -114,9 +114,12 @@ def parse_args(argv=None):
                         "targeted SUCCESS if the target logit is within "
                         "tau of the top (CW stops exactly at the "
                         "decision boundary, so plain argmax flips with "
-                        "backend float noise; tau >> cross-backend "
-                        "logit deltas makes both columns "
-                        "backend-stable). 0 = exact argmax (reference "
+                        "backend float noise). Implies f32-HIGHEST "
+                        "matmul precision for the eval forward, so TPU "
+                        "and CPU logits agree to ~1e-3 and a small tau "
+                        "absorbs the residue (tools/calibrate_tau.py "
+                        "has the measurement). 0 = exact argmax at "
+                        "backend-default precision (reference "
                         "semantics, `baselines/inference.py`)")
     return p.parse_args(argv)
 
@@ -169,25 +172,39 @@ def main(argv=None):
             partition="test", augmentation=False,
         )
 
+    import contextlib
+
+    import jax
+
     tau = args.boundary_tau
+    # tau-scoring pins matmuls to 3-pass f32 so the margins being
+    # thresholded are backend-stable (TPU default runs bf16-input
+    # matmuls: logit deltas vs CPU up to ~0.8 on DGCNN — far above any
+    # sensible tau). The precision config participates in the jit cache
+    # key, so the pinned trace coexists with the default one.
+    prec_ctx = (jax.default_matmul_precision("highest") if tau > 0.0
+                else contextlib.nullcontext())
     correct, success, total = 0, 0, 0
-    for batch, valid in batch_iterator(ds, args.batch_size, pad_last=True):
-        pc = shard_batch(batch[0].astype(np.float32), mesh)
-        logits = np.asarray(eval_step(variables, pc))[:valid]
-        label = batch[1][:valid]
-        if tau > 0.0:
-            correct += int((class_margins(logits, label) > tau).sum())
-        else:
-            pred = logits.argmax(-1)
-            correct += int((pred == label).sum())
-        total += valid
-        if args.mode == "target":
-            target = batch[2][:valid]
+    with prec_ctx:
+        for batch, valid in batch_iterator(
+                ds, args.batch_size, pad_last=True):
+            pc = shard_batch(batch[0].astype(np.float32), mesh)
+            logits = np.asarray(eval_step(variables, pc))[:valid]
+            label = batch[1][:valid]
             if tau > 0.0:
-                success += int(
-                    (class_margins(logits, target) > -tau).sum())
+                correct += int(
+                    (class_margins(logits, label) > tau).sum())
             else:
-                success += int((pred == target).sum())
+                pred = logits.argmax(-1)
+                correct += int((pred == label).sum())
+            total += valid
+            if args.mode == "target":
+                target = batch[2][:valid]
+                if tau > 0.0:
+                    success += int(
+                        (class_margins(logits, target) > -tau).sum())
+                else:
+                    success += int((pred == target).sum())
 
     acc = correct / max(total, 1)
     out = {"data": args.data, "model": meta.get("model", args.model),

@@ -26,7 +26,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def all_logits(seed_dir, victim, npz_name, num_points, batch_size):
+def all_logits(seed_dir, victim, npz_name, num_points, batch_size,
+               pin_precision=True):
     from if_defense_tpu.cli.inference import (
         adjust_num_points,
         load_eval_model,
@@ -36,6 +37,10 @@ def all_logits(seed_dir, victim, npz_name, num_points, batch_size):
 
     ckpt = os.path.join(seed_dir, victim, "best")
     data = os.path.join(seed_dir, victim, npz_name)
+    import contextlib
+
+    import jax
+
     model, variables, meta, = load_eval_model(ckpt)
     eval_step = make_eval_step(model)
     n = adjust_num_points(num_points, data)
@@ -43,11 +48,15 @@ def all_logits(seed_dir, victim, npz_name, num_points, batch_size):
     # the reference scores defended/adversarial data un-renormalized)
     ds = ModelNet40Attack(data, n, normalize=False)
     outs, labels, targets = [], [], []
-    for batch, valid in batch_iterator(ds, batch_size, pad_last=True):
-        lg = np.asarray(eval_step(variables, batch[0].astype(np.float32)))
-        outs.append(lg[:valid])
-        labels.append(batch[1][:valid])
-        targets.append(batch[2][:valid])
+    prec_ctx = (jax.default_matmul_precision("highest") if pin_precision
+                else contextlib.nullcontext())
+    with prec_ctx:
+        for batch, valid in batch_iterator(ds, batch_size, pad_last=True):
+            lg = np.asarray(
+                eval_step(variables, batch[0].astype(np.float32)))
+            outs.append(lg[:valid])
+            labels.append(batch[1][:valid])
+            targets.append(batch[2][:valid])
     return (np.concatenate(outs), np.concatenate(labels),
             np.concatenate(targets))
 
@@ -66,13 +75,16 @@ def main(argv=None):
     p.add_argument("--num_points", type=int, default=1024)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--out", default=None, help="save logits npz here")
+    p.add_argument("--default_precision", action="store_true",
+                   help="measure at backend-default matmul precision "
+                        "instead of the pinned f32-HIGHEST scoring mode")
     p.add_argument("--compare", default=None,
                    help="npz of logits from the other backend")
     args = p.parse_args(argv)
 
     lg, label, target = all_logits(
         args.seed_dir, args.victim, args.npz, args.num_points,
-        args.batch_size)
+        args.batch_size, pin_precision=not args.default_precision)
     import jax
     backend = jax.default_backend()
     m_t = margins(lg, target)

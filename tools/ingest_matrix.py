@@ -132,6 +132,8 @@ def rescore_boundary_cells(merged: dict, seed_dir: str, tau: float,
                 "--num_points", str(n_pts), "--no_adjust_points",
                 "--batch_size", str(batch_size), "--mode", "target",
                 "--boundary_tau", str(tau)])
+            ares.setdefault("success_rate_attack_time",
+                            ares.get("success_rate"))
             ares.setdefault("attacked", {})["accuracy"] = r["accuracy"]
             ares["attacked"]["boundary_tau"] = tau
             if a.startswith("drop"):
@@ -159,10 +161,14 @@ def main(argv=None):
                    help="artifact dir (out_dir/seed0) — re-score the "
                         "attacked/success columns from the saved adv "
                         "npz files with margin-tolerant tau scoring")
-    p.add_argument("--boundary_tau", type=float, default=0.5,
-                   help="scoring margin for --rescore_seed_dir (see "
-                        "tools/calibrate_tau.py for the measurement "
-                        "behind the default)")
+    p.add_argument("--boundary_tau", type=float, default=0.05,
+                   help="scoring margin for --rescore_seed_dir. 0.05 "
+                        "measured on the hardest victim (DGCNN x CW "
+                        "perturb): with the f32-HIGHEST eval pin, "
+                        "chip-vs-CPU margin deltas are p99 0.067 "
+                        "concentrated at large margins and every column "
+                        "agrees EXACTLY at tau>=0.05 "
+                        "(tools/calibrate_tau.py)")
     p.add_argument("--merged_json", default=None,
                    help="also dump the merged+rescored results dict")
     args = p.parse_args(argv)

@@ -49,6 +49,22 @@ def bench_fn(fn, *args, warmup=2, reps=5, inner=1):
     return min(times)
 
 
+def cost_of(jitted, *args, inner=1, batch=1):
+    """XLA cost-analysis (bytes accessed, flops) per `inner` unit per
+    cloud — the roofline numerator for each phase. Pallas custom calls
+    report ~0 here; their true traffic is their operands (counted)."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        by = c.get("bytes accessed", 0.0) / inner / batch
+        fl = c.get("flops", 0.0) / inner / batch
+        return by, fl
+    except Exception as e:
+        print(f"  (cost analysis unavailable: {type(e).__name__})")
+        return 0.0, 0.0
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=48)
@@ -121,7 +137,10 @@ if __name__ == "__main__":
         return out
 
     t = bench_fn(dec_loop, pts_c, inner=args.iters)
-    print(f"decode fwd+bwd:   {t*1e3:8.2f} ms / iter")
+    by, fl = cost_of(dec_loop, pts_c, inner=args.iters, batch=B)
+    print(f"decode fwd+bwd:   {t*1e3:8.2f} ms / iter   "
+          f"[{by/1e6:6.3f} MB/cl/iter, {fl/1e9:5.2f} GF/cl/iter, "
+          f"{by*B/t/1e9:5.0f} GB/s]")
 
     # --- repulsion fwd+bwd (selection + gather + loss grad) ---
     def rep_loss(p):
@@ -139,7 +158,10 @@ if __name__ == "__main__":
         return out
 
     t = bench_fn(rep_loop, pts_c, inner=args.iters)
-    print(f"repuls fwd+bwd:   {t*1e3:8.2f} ms / iter")
+    by, fl = cost_of(rep_loop, pts_c, inner=args.iters, batch=B)
+    print(f"repuls fwd+bwd:   {t*1e3:8.2f} ms / iter   "
+          f"[{by/1e6:6.3f} MB/cl/iter, {fl/1e9:5.2f} GF/cl/iter, "
+          f"{by*B/t/1e9:5.0f} GB/s]")
 
     # --- kNN selection alone ---
     @jax.jit
@@ -151,7 +173,9 @@ if __name__ == "__main__":
         return out
 
     t = bench_fn(knn_loop, pts_c, inner=args.iters)
-    print(f"knn select:       {t*1e3:8.2f} ms / iter")
+    by, fl = cost_of(knn_loop, pts_c, inner=args.iters, batch=B)
+    print(f"knn select:       {t*1e3:8.2f} ms / iter   "
+          f"[{by/1e6:6.3f} MB/cl/iter, {fl/1e9:5.2f} GF/cl/iter]")
 
     # --- full fused defense ---
     defend = make_opt_defense(
@@ -177,7 +201,10 @@ if __name__ == "__main__":
         return out["xz"][0]
 
     t = bench_fn(refresh_loop, pts_c, inner=args.iters)
-    print(f"corner refresh:   {t*1e3:8.2f} ms / refresh")
+    by, fl = cost_of(refresh_loop, pts_c, inner=args.iters, batch=B)
+    print(f"corner refresh:   {t*1e3:8.2f} ms / refresh   "
+          f"[{by/1e6:6.3f} MB/cl/refresh, {fl/1e9:5.2f} GF/cl/refresh, "
+          f"{by*B/t/1e9:5.0f} GB/s]")
 
     cache0 = jax.jit(cache_fn)(lv, pts_c, lc)
 
@@ -199,12 +226,18 @@ if __name__ == "__main__":
         return out
 
     t = bench_fn(cached_loop, pts_c, inner=args.iters)
-    print(f"cached step:      {t*1e3:8.2f} ms / iter (lerp+head+rep bwd)")
+    by, fl = cost_of(cached_loop, pts_c, inner=args.iters, batch=B)
+    print(f"cached step:      {t*1e3:8.2f} ms / iter (lerp+head+rep bwd)   "
+          f"[{by/1e6:6.3f} MB/cl/iter, {fl/1e9:5.2f} GF/cl/iter, "
+          f"{by*B/t/1e9:5.0f} GB/s]")
 
     # --- full cached defense at interp_refresh=8 (bench workload) ---
     defend8 = convonet_opt_defense(
         model, variables, iterations=200, compute_dtype=cd,
         interp_refresh=8)
     t = bench_fn(lambda: defend8(pc, key), warmup=1, reps=3)
+    by, fl = cost_of(defend8.func, variables, pc, key, inner=201, batch=B)
     print(f"full defense R=8: {t:8.2f} s / batch "
-          f"({B / t:6.2f} clouds/s)")
+          f"({B / t:6.2f} clouds/s)   "
+          f"[{by/1e6:6.3f} MB/cl/iter, {fl/1e9:5.2f} GF/cl/iter, "
+          f"{by*B*201/t/1e9:5.0f} GB/s avg]")
