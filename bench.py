@@ -290,11 +290,12 @@ def main():
     pc = jnp.asarray(rng.normal(size=(B, K, 3)) * 0.3, jnp.float32)
     key = jax.random.key(1)
 
-    def measure(compute_dtype, interp_refresh):
+    def measure(compute_dtype, interp_refresh, rep_graph_cache=False):
         defend = convonet_opt_defense(
             model, variables,
             iterations=iters, input_npoint=inp, sample_npoint=samp,
             compute_dtype=compute_dtype, interp_refresh=interp_refresh,
+            rep_graph_cache=rep_graph_cache,
         )
         # compile + warmup; sync via a scalar host fetch — on the axon
         # tunnel block_until_ready() returns before remote execution ends

@@ -68,6 +68,12 @@ def parse_args(argv=None):
                    help="run the decoder/repulsion fwd+bwd in bf16 "
                         "(f32 master points + Adam; ~1.7x faster, "
                         "accuracy-neutral in our experiments)")
+    p.add_argument("--rep_graph_cache", action="store_true",
+                   help="freeze the repulsion neighbour graph per "
+                        "corner-cache window (requires "
+                        "--interp_refresh > 1; skips the k-selection "
+                        "scan each step — accuracy-validated deviation "
+                        "from per-step graphs)")
     p.add_argument("--seed", type=int, default=1)
     return p.parse_args(argv)
 
@@ -102,6 +108,7 @@ def build_defend_fn(args):
     )
     if args.variant == "convonet":
         common["interp_refresh"] = args.interp_refresh
+        common["rep_graph_cache"] = args.rep_graph_cache
     wpath = os.path.abspath(args.weights)
     key = (args.variant, wpath, os.path.getmtime(wpath),
            args.batch_size, tuple(sorted(common.items())))
