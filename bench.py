@@ -26,12 +26,15 @@ roofline figures from exact XLA cost-analysis FLOP/byte counts.
 
 Precision: the headline `value` runs the fast path (compute_dtype=
 bfloat16 with f32 master points/Adam state + corner-cache interpolation
-R=16); EVERY run also measures the f32-exact reference-numerics mode and
-reports it as `value_f32`, so round-over-round progress is
-mode-comparable (VERDICT r2 item 2). Accuracy of the fast path vs exact
-is validated on the discriminative hard-family benchmark
-(RESULTS_DISCRIM.md). Pass --f32 to make the exact mode the only
-measurement.
+R=16 + cached repulsion neighbour graph on the same cadence); EVERY run
+also measures the f32 fast path (`value_f32` — same caches, all math
+f32) and the strict reference-numerics mode (`value_f32_exact` — f32,
+interpolation + kNN graph every step), so round-over-round progress is
+mode-comparable (VERDICT r2 item 2). Accuracy of the fast paths vs
+exact is validated on the discriminative hard-family benchmark
+(RESULTS_DISCRIM.md) and the rep-cache A/B in RESULTS_MATRIX.md. Pass
+--f32 to make the f32 path the headline; --no_rep_cache to disable the
+cached graph.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "value_f32", "vs_baseline_f32", "anchor_note"}.
@@ -227,6 +230,11 @@ def main():
                              "benchmark — 96.3/97.8/96.3%% defended "
                              "accuracy vs 92.2%% exact; 16 keeps the "
                              "per-window drift at ~one plane cell)")
+    parser.add_argument("--no_rep_cache", action="store_true",
+                        help="disable the cached repulsion neighbour "
+                             "graph (rep_graph_cache) in the fast "
+                             "paths — per-step kNN selection like the "
+                             "reference")
     args = parser.parse_args()
 
     import jax
@@ -256,7 +264,8 @@ def main():
             req = {"batch_size": args.batch_size,
                    "num_batches": args.num_batches,
                    "f32": args.f32,
-                   "interp_refresh": args.interp_refresh}
+                   "interp_refresh": args.interp_refresh,
+                   "rep_cache": not args.no_rep_cache}
             rec = lkg.get("bench_config")
             if rec is not None and rec != req:
                 lkg["config_mismatch"] = {"requested": req, "recorded": rec}
@@ -307,11 +316,16 @@ def main():
         float(out[0, 0, 0])
         return args.num_batches * B / (time.time() - t0)
 
+    repc = args.interp_refresh > 1 and not args.no_rep_cache
     paused = _pause_chip_queue()
     try:
-        f32_cps = measure(None, 1)
+        f32_exact_cps = measure(None, 1)
+        # f32 FAST path: corner-cache + cached repulsion graph, f32
+        # math throughout (both deviations accuracy-validated —
+        # RESULTS_DISCRIM.md + the repc A/B in RESULTS_MATRIX.md)
+        f32_cps = measure(None, args.interp_refresh, repc)
         fast_cps = (f32_cps if args.f32
-                    else measure("bfloat16", args.interp_refresh))
+                    else measure("bfloat16", args.interp_refresh, repc))
     finally:
         _resume_chip_queue(paused)
 
@@ -320,10 +334,16 @@ def main():
         "value": round(fast_cps, 2),
         "unit": "clouds/s",
         "vs_baseline": round(fast_cps / REFERENCE_CLOUDS_PER_SEC, 2),
-        # exact reference numerics (f32, interpolation every step),
-        # measured EVERY run so the two modes stay comparable over rounds
+        # f32 fast path (corner-cache + cached repulsion graph, all
+        # math f32) — the "equal defended accuracy at reference dtype"
+        # number; value_f32_exact is the strict reference semantics
+        # (interpolation + kNN graph every step), measured EVERY run so
+        # modes stay comparable over rounds
         "value_f32": round(f32_cps, 2),
         "vs_baseline_f32": round(f32_cps / REFERENCE_CLOUDS_PER_SEC, 2),
+        "value_f32_exact": round(f32_exact_cps, 2),
+        "vs_baseline_f32_exact": round(
+            f32_exact_cps / REFERENCE_CLOUDS_PER_SEC, 2),
         "anchor_note": "vs_baseline anchor ~24 clouds/s is a V100 FLOP "
                        "model with ~2x error bars (bench.py docstring)",
     }
@@ -334,6 +354,8 @@ def main():
         line["calibrated_anchor"] = anchor
         line["vs_baseline_calibrated"] = round(fast_cps / anchor, 2)
         line["vs_baseline_calibrated_f32"] = round(f32_cps / anchor, 2)
+        line["vs_baseline_calibrated_f32_exact"] = round(
+            f32_exact_cps / anchor, 2)
         line["anchor_note"] = (
             f"calibrated_anchor {anchor} clouds/s: torch reference "
             "measured on this host's CPU (ANCHOR_CALIBRATION.json), its "
@@ -347,10 +369,18 @@ def main():
         kind = jax.devices()[0].device_kind
         peaks = TPU_PEAKS.get(kind)
         if peaks and jax.default_backend() == "tpu":
-            mode = "f32" if args.f32 else "bf16_r16"
-            fl = cal.get(f"our_flops_per_cloud_{mode}")
+            if args.f32:
+                mode = "f32_r16_repc" if repc else "f32"
+            else:
+                mode = "bf16_r16_repc" if repc else "bf16_r16"
             xc = cal_all.get("xla_cost", {})
-            by = xc.get(f"bytes_per_cloud_{mode}")
+            fl = (xc.get(f"flops_per_cloud_{mode}")
+                  or cal.get(f"our_flops_per_cloud_{mode}")
+                  or cal.get("our_flops_per_cloud_"
+                             + ("f32" if args.f32 else "bf16_r16")))
+            by = (xc.get(f"bytes_per_cloud_{mode}")
+                  or xc.get("bytes_per_cloud_"
+                            + ("f32" if args.f32 else "bf16_r16")))
             if fl:
                 line["mfu"] = round(fast_cps * fl / peaks[0], 5)
             if by:
@@ -367,9 +397,11 @@ def main():
     bench_config = {"batch_size": args.batch_size,
                     "num_batches": args.num_batches,
                     "f32": args.f32,
-                    "interp_refresh": args.interp_refresh}
+                    "interp_refresh": args.interp_refresh,
+                    "rep_cache": repc}
     default_config = (args.batch_size == 48 and args.num_batches == 8
-                      and not args.f32 and args.interp_refresh == 16)
+                      and not args.f32 and args.interp_refresh == 16
+                      and repc)
     if not args.smoke and jax.default_backend() == "tpu" and default_config:
         # refresh the dead-tunnel fallback record — only from a REAL
         # on-chip run AT THE DEFAULT CONFIG; a CPU-backend run or a

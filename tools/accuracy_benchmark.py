@@ -45,6 +45,9 @@ OPT_MODE_FLAGS = {
     "bf16_r8": ["--compute_dtype", "bfloat16", "--interp_refresh", "8"],
     "bf16_r16": ["--compute_dtype", "bfloat16", "--interp_refresh", "16"],
     "bf16_r32": ["--compute_dtype", "bfloat16", "--interp_refresh", "32"],
+    "bf16_r16_repc": ["--compute_dtype", "bfloat16", "--interp_refresh",
+                      "16", "--rep_graph_cache"],
+    "f32_r16_repc": ["--interp_refresh", "16", "--rep_graph_cache"],
 }
 
 

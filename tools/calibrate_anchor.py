@@ -332,13 +332,17 @@ def flops_leg(args):
     key = jax.random.key(1)
 
     out = {}
-    for name, (dtype, refresh) in {
-            "f32": (None, 1), "bf16_r16": ("bfloat16", 16)}.items():
+    for name, (dtype, refresh, repc) in {
+            "f32": (None, 1, False),
+            "bf16_r16": ("bfloat16", 16, False),
+            "bf16_r16_repc": ("bfloat16", 16, True),
+            "f32_r16_repc": (None, 16, True)}.items():
         defend = convonet_opt_defense(
             model, variables, iterations=args.iterations,
             input_npoint=DEFAULTS["input_npoint"],
             sample_npoint=DEFAULTS["sample_npoint"],
-            compute_dtype=dtype, interp_refresh=refresh)
+            compute_dtype=dtype, interp_refresh=refresh,
+            rep_graph_cache=repc)
         cost = jax.jit(defend).lower(pc, key).compile().cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
             cost = cost[0]
