@@ -39,6 +39,9 @@ run_leg() { # tag victim attacks...
 
 run_leg rscnn_fast      rscnn     clean drop perturb
 run_leg rscnn_knn       rscnn     knn
+# finish the stage-E dgcnn add_object row whose client wedged mid-run
+# (backend probe was alive; shards batch_00000/1 resume)
+run_leg dgcnn_object    dgcnn     add_object
 run_leg pointnet2_clean pointnet2 clean
 run_leg dgcnn_alias     dgcnn     drop100 add_hd
 run_leg pointconv_alias pointconv drop100 add_hd
