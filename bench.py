@@ -132,10 +132,10 @@ def devices_or_none(timeout_s: float, retries: int = 1):
 def _pause_chip_queue():
     """SIGSTOP any running round-4 chip-queue process trees.
 
-    The matrix/bench queue (tools/run_matrix_r4*.sh) can be mid-leg when
+    The matrix/bench queue (tools/run_matrix_r*.sh) can be mid-leg when
     the round-end driver runs this bench; sharing the single chip during
     timing would understate the headline number. Queue roots advertise
-    themselves via /tmp/r4*.pid; their whole /proc children trees are
+    themselves via /tmp/r<N>*.pid; their whole /proc children trees are
     stopped for the measurement window and SIGCONTed afterwards
     (finally-guarded — a crash mid-measure still resumes them).
 
@@ -168,12 +168,12 @@ def _pause_chip_queue():
         protected.add(p)
 
     pids: list[int] = []
-    for pf in sorted(glob.glob("/tmp/r4*.pid")):
+    for pf in sorted(glob.glob("/tmp/r[0-9]*.pid")):
         try:
             root = int(open(pf).read().split()[0])
         except (OSError, ValueError, IndexError):
             continue
-        if "run_matrix_r4" not in _cmdline(root):
+        if "run_matrix_r" not in _cmdline(root):
             continue              # stale/recycled/foreign pid file
         stack = [root]
         while stack:
