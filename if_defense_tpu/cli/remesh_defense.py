@@ -189,6 +189,24 @@ def remesh_batch(model, variables, input_n, batch_pc, args, rng, key,
             meta = sparse_fn.sparse_meta
             out_dev = sparse_fn(variables, c)
             out_np = {k: np.asarray(v) for k, v in out_dev.items()}
+            if "dense" in out_np:
+                # the sparse evaluator auto-demoted to the dense int8
+                # wire (active blocks ~everywhere — sparse would ship
+                # more bytes than dense); values are the identical int8
+                # quantisation, so samples match the sparse wire's.
+                print("NOTE: sparse wire auto-demoted to dense int8 "
+                      "(active blocks ≥ dense-wire bytes)")
+                base = int(rng.integers(2**62))
+                seeds = [base + b for b in range(B)]
+                for b in range(B):
+                    def one(b=b):
+                        vol = out_np["dense"][b]
+                        save_mesh(b, vol=vol, iso=meta["iso"])
+                        return sample_value_grid(
+                            vol, meta["iso"], box, args.sample_npoint,
+                            seed=seeds[b])
+                    yield one
+                return
             dense_cache = []                  # lazy per-batch fallback
             fallback_lock = threading.Lock()
             # one base draw + per-cloud offset, fixed up front: output is

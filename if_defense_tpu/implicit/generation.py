@@ -238,7 +238,8 @@ def make_convonet_dense_eval(model, rf: int, box_size: float):
 
 def make_convonet_sparse_eval(model, rf: int, box_size: float,
                               threshold: float = 0.2, block: int = 8,
-                              max_blocks: int | None = None):
+                              max_blocks: int | None = None,
+                              auto_demote: bool = True):
     """Sparse active-block evaluator: dense lattice on device, but only
     the surface-adjacent value blocks cross the wire.
 
@@ -339,6 +340,16 @@ def make_convonet_sparse_eval(model, rf: int, box_size: float,
         # resident until the bucketed gather below
         need = int(jnp.max(n_need))
         m = min(cap, max(64, 1 << max(need - 1, 0).bit_length()))
+        # auto-demote: when the field is active nearly everywhere (e.g.
+        # a barely-trained decoder whose surface fills the lattice), the
+        # power-of-two bucket approaches nb^3 and the sparse wire ships
+        # >= the dense grid's bytes PLUS the gather + per-block padding —
+        # strictly slower than the dense int8 wire it was built to beat
+        # (the BENCH_MESH r4 inversion). Ship the already-quantised dense
+        # grid instead: identical int8 values, so downstream marching /
+        # sampling is bit-identical either way.
+        if auto_demote and m * block**3 + nb**3 >= rp**3:
+            return {"dense": qp[:, :rp, :rp, :rp]}
         blocks, idx = gather(qp, score, m)
         return {"blocks": blocks, "idx": idx, "inside": inside,
                 "n_need": n_need}

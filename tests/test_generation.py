@@ -170,7 +170,8 @@ def test_sparse_wire_matches_dense_int8():
     q_dense = np.asarray(quantize_wire_int8(dense_fn(variables, c), iso))
 
     sparse_fn = make_convonet_sparse_eval(model, rf, box, thr, block=4,
-                                          max_blocks=128)
+                                          max_blocks=128,
+                                          auto_demote=False)
     meta = sparse_fn.sparse_meta
     out = {k: np.asarray(v) for k, v in sparse_fn(variables, c).items()}
 
@@ -211,7 +212,8 @@ def test_sparse_wire_adaptive_bucket_and_cap():
     c = model.apply(variables, pc, method="encode_inputs")
 
     rf, box, thr = 16, 1.1, 0.2
-    sparse_fn = make_convonet_sparse_eval(model, rf, box, thr, block=4)
+    sparse_fn = make_convonet_sparse_eval(model, rf, box, thr, block=4,
+                                          auto_demote=False)
     meta = sparse_fn.sparse_meta
     out = sparse_fn(variables, c)
     need = int(np.asarray(out["n_need"]).max())
@@ -228,7 +230,8 @@ def test_sparse_wire_adaptive_bucket_and_cap():
     # a hard cap below the need must surface as the documented error
     if need > 1:
         capped = make_convonet_sparse_eval(model, rf, box, thr, block=4,
-                                           max_blocks=need - 1)
+                                           max_blocks=need - 1,
+                                           auto_demote=False)
         out_c = capped(variables, c)
         worst = int(np.argmax(np.asarray(out_c["n_need"])))
         with pytest.raises(RuntimeError, match="sparse wire clipped"):
@@ -521,3 +524,41 @@ def test_refine_int8_wire_is_smaller():
         max_active=512, chunk=512, timings=tm16, wire="bf16")
     assert tm8["wire_bytes"] < tm16["wire_bytes"]
     np.testing.assert_array_equal(f8 > iso, f16 > iso)
+
+
+def test_sparse_wire_auto_demotes_to_dense_int8():
+    """On an active-everywhere field the sparse wire would ship >= the
+    dense grid's bytes (power-of-two bucket -> nb^3); the evaluator must
+    auto-demote to the dense int8 wire, with the IDENTICAL int8
+    quantisation the dense wire produces (BENCH_MESH r4 inversion fix)."""
+    from if_defense_tpu.implicit import ConvOccupancyNetwork
+    from if_defense_tpu.implicit.generation import (
+        make_convonet_dense_eval,
+        make_convonet_sparse_eval,
+        quantize_wire_int8,
+    )
+
+    model = ConvOccupancyNetwork(plane_resolution=16)
+    rng = np.random.default_rng(13)
+    init_pc = jnp.zeros((2, 32, 3))
+    variables = model.init(jax.random.key(5), init_pc, init_pc)
+    pc = jnp.asarray(rng.uniform(-0.4, 0.4, (3, 64, 3)), jnp.float32)
+    c = model.apply(variables, pc, method="encode_inputs")
+
+    rf, box, thr = 16, 1.1, 0.2
+    iso = logit_threshold(thr)
+    dense_fn = make_convonet_dense_eval(model, rf, box)
+    q_dense = np.asarray(quantize_wire_int8(dense_fn(variables, c), iso))
+
+    # a random-init decoder's field is sign-mixed nearly everywhere:
+    # need > 64 blocks at block=4 (nb^3 = 125) trips the byte-parity
+    # demotion threshold m*64 + 125 >= 17^3
+    sparse_fn = make_convonet_sparse_eval(model, rf, box, thr, block=4)
+    out = sparse_fn(variables, c)
+    if "dense" not in out:
+        # field happened to be compact enough that sparse still wins —
+        # the demotion must then NOT fire (byte check is the contract)
+        m = out["blocks"].shape[1]
+        assert m * 4**3 + 5**3 < 17**3
+        return
+    np.testing.assert_array_equal(np.asarray(out["dense"]), q_dense)
