@@ -98,7 +98,9 @@ if __name__ == "__main__":
         # sparse active-block wire + fused direct sampling (the fast
         # ConvONet product path)
         sparse_fn = G.make_convonet_sparse_eval(
-            model, R0 * U, box_size, max_blocks=args.sparse_blocks)
+            model, R0 * U, box_size, max_blocks=args.sparse_blocks,
+            auto_demote=False)  # profile the block path even on noisy
+        #                         fields (product auto-demotes there)
         meta = sparse_fn.sparse_meta
         out = sparse_fn(variables, c)
         sync(out["n_need"])                           # incl. compile
